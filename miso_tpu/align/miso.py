@@ -1,0 +1,269 @@
+"""MISO hierarchical latent-space submap alignment.
+
+Re-design of `grid_opt/align/miso.py` (the paper's core contribution)
+and `grid_opt/align/base.py` (generic Adam-over-submap-poses loops).
+
+TPU-first structure: for each coarse-to-fine level, ONE jitted step
+function computes every pairwise loss (static pair list, masked means
+instead of boolean gathers), takes grads wrt the atlas pytree, and
+applies a masked-Adam update whose mask enables only submap-pose
+corrections with submap 0 anchored (align/base.py:104-110).  The whole
+alignment iteration is a single device program -- the reference instead
+runs a Python loop issuing hundreds of small kernels per iteration.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miso_tpu.losses.common import gm_weighted_sq, total_loss
+from miso_tpu.models.base import relative_param_change
+from miso_tpu.models.grid_atlas import GridAtlas, GridAtlasParams, grid_atlas_mask
+from miso_tpu.ops import se3
+from miso_tpu.train.optim import masked_adam_init, masked_adam_update
+
+
+def _pair_points(params: GridAtlasParams, coords_from, src: int, dst: int):
+    """src-submap coords -> world -> dst submap (miso.py:151-152)."""
+    R, t = params.updated_submap_poses()
+    world = se3.transform_points_to(coords_from, R[src], t[src])
+    coords_to = se3.transform_points_from(world, R[dst], t[dst])
+    return coords_to
+
+
+def _submap_view(atlas: GridAtlas, s: int):
+    return lambda params: params.submap(s, atlas.submap_shapes(s),
+                                        atlas.anchor_kf_for_submap(s))
+
+
+def pairwise_loss_latent(params: GridAtlasParams, atlas: GridAtlas,
+                         src: int, dst: int, level: int,
+                         coords_from, valid_from,
+                         align_weight=3000.0, align_loss="L2",
+                         use_bound=True, stability_thresh=0.0,
+                         trunc_factor=None, key=None,
+                         subsample_points=None):
+    """Latent alignment residual for one submap pair (miso.py:116-211).
+
+    coords_from: (P, 3) precomputed valid grid-vertex coords of src at
+    ``level`` (padded); valid_from: (P, 1) pad mask.  Compares
+    interpolated features over channels [0, fdim*(level+1)).
+    """
+    fdim = params.fdim
+    end_ch = fdim * (level + 1)
+    sub_from = params.submap(s=src, shapes=atlas.submap_shapes(src))
+    sub_to = params.submap(s=dst, shapes=atlas.submap_shapes(dst))
+    if subsample_points is not None and key is not None:
+        idx = jax.random.choice(key, coords_from.shape[0],
+                                (min(subsample_points, coords_from.shape[0]),))
+        coords_from = coords_from[idx]
+        valid_from = valid_from[idx]
+    coords_to = _pair_points(params, coords_from, src, dst)
+    mask = valid_from
+    if use_bound:
+        mask = mask * se3.coords_in_bound(coords_to, sub_to.bound)
+    if stability_thresh > 0:
+        mu_to = sub_to.query_stability(coords_to)[:, :1]
+        mu_from = sub_from.query_stability(coords_from)[:, :1]
+        mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
+    if trunc_factor is not None:
+        sdf_from = sub_from(coords_from)
+        cell = params.cell_sizes[level]
+        mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
+    f_from = sub_from.query_feature(coords_from)[:, :end_ch]
+    f_to = sub_to.query_feature(coords_to)[:, :end_ch]
+    c = f_from - f_to
+    count = jnp.maximum(jnp.sum(mask), 1.0)
+    if align_loss == "L2":
+        loss = jnp.sum(mask * c**2) / (count * end_ch)
+    elif align_loss == "L1":
+        loss = jnp.sum(mask[:, 0] * jnp.linalg.norm(c, axis=1)) / count
+    elif align_loss == "cos":
+        num = jnp.sum(f_from * f_to, axis=1, keepdims=True)
+        den = (jnp.linalg.norm(f_from, axis=1, keepdims=True)
+               * jnp.linalg.norm(f_to, axis=1, keepdims=True))
+        loss = jnp.sum(mask * (1.0 - num / jnp.maximum(den, 1e-8))) / count
+    else:
+        raise ValueError(f"Invalid align loss: {align_loss}")
+    return {f"align_latent_level{level}_{src}_{dst}": loss * align_weight}
+
+
+def pairwise_loss_sdf(params: GridAtlasParams, atlas: GridAtlas,
+                      src: int, dst: int,
+                      coords_from, valid_from,
+                      align_weight=3000.0, align_loss="L2",
+                      use_bound=True, stability_thresh=0.0,
+                      gm_scale_sdf=0.1, key=None, subsample_points=None):
+    """SDF-space alignment (miso.py:14-113): decoded SDFs of both submaps
+    compared at shared points.  Uses the precomputed alignment coords as
+    the sample set (the reference samples frame points from the loader;
+    behaviorally both are near-surface src-submap points)."""
+    sub_from = params.submap(s=src, shapes=atlas.submap_shapes(src))
+    sub_to = params.submap(s=dst, shapes=atlas.submap_shapes(dst))
+    if subsample_points is not None and key is not None:
+        idx = jax.random.choice(key, coords_from.shape[0],
+                                (min(subsample_points, coords_from.shape[0]),))
+        coords_from = coords_from[idx]
+        valid_from = valid_from[idx]
+    coords_to = _pair_points(params, coords_from, src, dst)
+    mask = valid_from
+    if use_bound:
+        mask = mask * se3.coords_in_bound(coords_to, sub_to.bound)
+    if stability_thresh > 0:
+        mu_to = sub_to.query_stability(coords_to)[:, :1]
+        mu_from = sub_from.query_stability(coords_from)[:, :1]
+        mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
+    out_from = sub_from(coords_from)
+    out_to = sub_to(coords_to)
+    c = out_from - out_to
+    count = jnp.maximum(jnp.sum(mask), 1.0)
+    if align_loss == "L2":
+        loss = jnp.sum(mask * c**2) / count
+    elif align_loss == "L1":
+        loss = jnp.sum(mask[:, 0] * jnp.linalg.norm(c, axis=1)) / count
+    elif align_loss == "GM":
+        loss = jnp.sum(mask * gm_weighted_sq(c, gm_scale_sdf)) / count
+    else:
+        raise ValueError(f"Invalid align loss: {align_loss}")
+    return {f"align_sdf_{src}_{dst}": loss * align_weight}
+
+
+def atlas_pose_trust_region_loss(params: GridAtlasParams, thresh_rad,
+                                 thresh_m, weight=1e3):
+    """Per-submap trust-region pose regularizer (align/base.py:20-27)."""
+    rot_norm = jnp.linalg.norm(params.sub_rot_corr, axis=-1)
+    tr_norm = jnp.linalg.norm(params.sub_trans_corr, axis=-1)
+    return {
+        "trust_region_R": weight * jnp.sum(jax.nn.relu(rot_norm - thresh_rad)),
+        "trust_region_t": weight * jnp.sum(jax.nn.relu(tr_norm - thresh_m)),
+    }
+
+
+def generic_align_multiple_submaps(
+        atlas: GridAtlas,
+        pair_loss_fn: Callable,          # (params, src, dst, key) -> dict
+        num_iters=10, lr=1e-2, rel_change_thresh=0.0,
+        submap_pairs: Optional[Sequence[Tuple[int, int]]] = None,
+        check_intersection=True, pose_reg_weight=0.0,
+        pose_thresh_rad=1.0, pose_thresh_m=1.0, verbose=False,
+        save_iterations=False, seed=0):
+    """Adam over all submap poses, submap 0 anchored
+    (reference align/base.py:89-163)."""
+    params = atlas.params
+    if submap_pairs is None:
+        submap_pairs = [(i, j) for i in range(atlas.num_submaps)
+                        for j in range(i + 1, atlas.num_submaps)]
+    if check_intersection:
+        submap_pairs = [(i, j) for (i, j) in submap_pairs
+                        if atlas.check_submap_intersection(i, j)]
+    mask = grid_atlas_mask(params, submap_pose=True, anchor_first_submap=True)
+    opt_state = masked_adam_init(params)
+
+    def step(params, opt_state, key):
+        def objective(p):
+            loss_dict = {}
+            keys = jax.random.split(key, max(len(submap_pairs), 1))
+            for k, (s, d) in enumerate(submap_pairs):
+                loss_dict.update(pair_loss_fn(p, s, d, keys[k]))
+            if pose_reg_weight > 0:
+                loss_dict.update(atlas_pose_trust_region_loss(
+                    p, pose_thresh_rad, pose_thresh_m, pose_reg_weight))
+            tl = total_loss(loss_dict)
+            return tl, loss_dict
+
+        (tl, loss_dict), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        bad = jnp.logical_not(jnp.isfinite(tl))
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask)
+        new_params, new_opt = masked_adam_update(grads, opt_state, params, eff, lr=lr)
+        return new_params, new_opt, tl
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(seed)
+    prev = None
+    t0 = time.perf_counter()
+    iteration_results = {}
+    for it in range(num_iters + 1):
+        if save_iterations:
+            R, t = params.updated_submap_poses()
+            T = np.zeros((atlas.num_submaps, 4, 4), np.float32)
+            T[:, 3, 3] = 1
+            T[:, :3, :3] = np.asarray(R)
+            T[:, :3, 3] = np.asarray(t)
+            iteration_results[it] = T
+        key, sub = jax.random.split(key)
+        params, opt_state, tl = step(params, opt_state, sub)
+        cur = (params.sub_rot_corr, params.sub_trans_corr)
+        relchange = float(relative_param_change(cur, prev)) if prev is not None else np.inf
+        prev = cur
+        if verbose:
+            print(f"AlignMulti iteration {it}: loss={float(tl):.2e} "
+                  f"relchange={relchange:.2e}")
+        if relchange < rel_change_thresh:
+            break
+    elapsed = time.perf_counter() - t0
+    atlas.params = params
+    return {"cpu_time_sec": elapsed, "gpu_time_sec": elapsed,
+            "iteration_results": iteration_results}
+
+
+def align_multiple_submaps_hierarchical(
+        atlas: GridAtlas,
+        level_iters=10, finetune_iters=10, level_thresh=0.0, lr=1e-2,
+        align_weight=3000.0, align_loss="L2", use_bound=True,
+        stability_thresh=0.0, subsample_points=None,
+        latent_levels: Optional[Sequence[int]] = None, skip_finetune=False,
+        submap_pairs=None, pose_reg_weight=0.0, pose_thresh_m=1.0,
+        pose_thresh_rad=1.0, gm_scale_sdf=0.1, verbose=False,
+        save_iterations=False, seed=0):
+    """Coarse-to-fine latent alignment + optional SDF finetune
+    (reference miso.py:217-322)."""
+    atlas.precompute_coordinates_for_alignment()
+    info: Dict = {}
+    cpu_total = 0.0
+    if latent_levels is None:
+        latent_levels = range(atlas.num_levels)
+    for level in latent_levels:
+        coords = {s: atlas.coordinates_for_alignment(s, level)
+                  for s in range(atlas.num_submaps)}
+
+        def pair_loss(p, s, d, key, _level=level, _coords=coords):
+            cf, vf = _coords[s]
+            return pairwise_loss_latent(
+                p, atlas, s, d, _level, cf, vf, align_weight, align_loss,
+                use_bound, stability_thresh, None, key, subsample_points)
+
+        level_info = generic_align_multiple_submaps(
+            atlas, pair_loss, num_iters=level_iters,
+            rel_change_thresh=level_thresh, lr=lr, submap_pairs=submap_pairs,
+            pose_reg_weight=pose_reg_weight, pose_thresh_rad=pose_thresh_rad,
+            pose_thresh_m=pose_thresh_m, verbose=verbose,
+            save_iterations=save_iterations, seed=seed + level)
+        cpu_total += level_info["cpu_time_sec"]
+        info[f"hier_latent_level{level}_{align_loss}"] = level_info
+    if not skip_finetune:
+        sdf_align_loss = "L2" if align_loss == "cos" else align_loss
+        finest = atlas.num_levels - 1
+        coords = {s: atlas.coordinates_for_alignment(s, finest)
+                  for s in range(atlas.num_submaps)}
+
+        def pair_loss_sdf(p, s, d, key, _coords=coords):
+            cf, vf = _coords[s]
+            return pairwise_loss_sdf(
+                p, atlas, s, d, cf, vf, align_weight, sdf_align_loss,
+                use_bound, stability_thresh, gm_scale_sdf, key, subsample_points)
+
+        fin = generic_align_multiple_submaps(
+            atlas, pair_loss_sdf, num_iters=finetune_iters, lr=lr,
+            submap_pairs=submap_pairs, pose_reg_weight=pose_reg_weight,
+            pose_thresh_rad=pose_thresh_rad, pose_thresh_m=pose_thresh_m,
+            verbose=verbose, save_iterations=save_iterations, seed=seed + 101)
+        cpu_total += fin["cpu_time_sec"]
+        info[f"hier_sdf_{sdf_align_loss}"] = fin
+    info["cpu_time_sec"] = cpu_total
+    info["gpu_time_sec"] = cpu_total
+    return info

@@ -1,0 +1,113 @@
+"""Procedural watertight test meshes.
+
+The reference relies on external mesh files (Replica scenes, armadillo
+etc.).  For self-contained tests/benchmarks we generate watertight
+primitives: icosphere, box, torus, and composite scenes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def icosphere(subdivisions: int = 3, radius: float = 1.0, center=(0, 0, 0)):
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+    for _ in range(subdivisions):
+        edge_mid = {}
+        new_faces = []
+        verts_list = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key in edge_mid:
+                return edge_mid[key]
+            m = (verts_list[a] + verts_list[b]) / 2.0
+            m = m / np.linalg.norm(m)
+            verts_list.append(m)
+            idx = len(verts_list) - 1
+            edge_mid[key] = idx
+            return idx
+
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, np.int64)
+    verts = verts * radius + np.asarray(center)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def box(size=(1.0, 1.0, 1.0), center=(0, 0, 0)):
+    sx, sy, sz = np.asarray(size) / 2.0
+    cx, cy, cz = center
+    v = np.array([
+        [-sx, -sy, -sz], [sx, -sy, -sz], [sx, sy, -sz], [-sx, sy, -sz],
+        [-sx, -sy, sz], [sx, -sy, sz], [sx, sy, sz], [-sx, sy, sz],
+    ], np.float32) + np.asarray([cx, cy, cz], np.float32)
+    f = np.array([
+        [0, 2, 1], [0, 3, 2],  # bottom (z-)
+        [4, 5, 6], [4, 6, 7],  # top (z+)
+        [0, 1, 5], [0, 5, 4],  # y-
+        [2, 3, 7], [2, 7, 6],  # y+
+        [1, 2, 6], [1, 6, 5],  # x+
+        [3, 0, 4], [3, 4, 7],  # x-
+    ], np.int32)
+    return v, f
+
+
+def torus(major_radius=1.0, minor_radius=0.3, center=(0, 0, 0), n_major=48, n_minor=24):
+    us = np.linspace(0, 2 * np.pi, n_major, endpoint=False)
+    vs = np.linspace(0, 2 * np.pi, n_minor, endpoint=False)
+    verts = []
+    for u in us:
+        for v in vs:
+            x = (major_radius + minor_radius * np.cos(v)) * np.cos(u)
+            y = (major_radius + minor_radius * np.cos(v)) * np.sin(u)
+            z = minor_radius * np.sin(v)
+            verts.append([x, y, z])
+    verts = np.asarray(verts, np.float32) + np.asarray(center, np.float32)
+    faces = []
+    for i in range(n_major):
+        for j in range(n_minor):
+            a = i * n_minor + j
+            b = i * n_minor + (j + 1) % n_minor
+            c = ((i + 1) % n_major) * n_minor + j
+            d = ((i + 1) % n_major) * n_minor + (j + 1) % n_minor
+            faces += [[a, c, b], [b, c, d]]
+    return verts, np.asarray(faces, np.int32)
+
+
+def merge_meshes(*meshes):
+    """Concatenate (verts, tris) pairs.  Components should be disjoint
+    for pseudonormal signed distance to remain valid."""
+    vs, fs = [], []
+    off = 0
+    for v, f in meshes:
+        vs.append(v)
+        fs.append(f + off)
+        off += len(v)
+    return np.concatenate(vs), np.concatenate(fs)
+
+
+def room_scene(size=4.0, seed=0):
+    """A simple 'room': floor slab + a few disjoint objects.
+
+    Useful as a stand-in for Replica-style indoor scenes in tests.
+    """
+    rng = np.random.default_rng(seed)
+    parts = [box(size=(size, size, 0.2), center=(0, 0, -1.0))]
+    parts.append(icosphere(2, 0.5, center=(-size / 4, -size / 4, 0.0)))
+    parts.append(box(size=(0.8, 0.8, 1.2), center=(size / 4, size / 4, -0.3)))
+    parts.append(torus(0.6, 0.2, center=(size / 4, -size / 4, 0.2)))
+    return merge_meshes(*parts)

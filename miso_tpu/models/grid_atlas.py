@@ -1,0 +1,564 @@
+"""GridAtlas: the submap collection (the SLAM map) as a stacked pytree.
+
+Re-design of `grid_opt/models/grid_atlas.py` (587 LoC).  The reference
+keeps a ModuleList of per-submap GridNets and loops over them in Python
+(`grid_atlas.py:374-399`).  Here all submaps are STACKED on a leading
+axis -- features (S, g..., F), submap poses (S, ...), keyframe poses
+(S, K, ...) -- so the atlas forward is a single vmap over S, which is
+also the natural submap-parallel axis for shard_map across TPU devices
+(see miso_tpu/parallel).
+
+Submaps may have different logical bounds (ScanNet precomputed submaps);
+storage is padded to the max grid shape per level and per-submap logical
+sizes are carried as runtime (S, d) arrays consumed by the interpolation
+kernel's ``size`` argument.
+
+Structure:
+  * :class:`GridAtlasParams` -- the pure pytree (arrays + static shape
+    config).  Everything jitted consumes this.
+  * :class:`GridAtlas` -- thin host wrapper holding the pytree plus
+    mutable bookkeeping (anchor KFs, kf->submap map, current ids), with
+    the reference's add_submap / add_kf / pose accessor API
+    (grid_atlas.py:96-328).  SLAM mutates the wrapper; each mutation
+    swaps in a new pytree.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from miso_tpu.models.grid_net import GridNet, create_grid_net
+from miso_tpu.ops import interp, se3
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class GridAtlasParams(struct.PyTreeNode):
+    # Stacked per-submap state (leading axis S).
+    features: Tuple[jnp.ndarray, ...]      # per level (S, g..., F) padded
+    stability: Tuple[jnp.ndarray, ...]     # per level (S, g..., 1)
+    decoder: Any                           # shared decoder params
+    sub_rot_corr: jnp.ndarray              # (S, 3)
+    sub_trans_corr: jnp.ndarray            # (S, 3)
+    Rws: jnp.ndarray                       # (S, 3, 3) initial submap poses
+    tws: jnp.ndarray                       # (S, 3)
+    kf_rot_corr: jnp.ndarray               # (S, K, 3)
+    kf_trans_corr: jnp.ndarray             # (S, K, 3)
+    Rsk: jnp.ndarray                       # (S, K, 3, 3) initial KF-in-submap
+    tsk: jnp.ndarray                       # (S, K, 3)
+    bounds: jnp.ndarray                    # (S, d, 2) local bounds
+    sizes: Tuple[jnp.ndarray, ...]         # per level (S, d) logical grid sizes
+    ignore_level: jnp.ndarray              # (L,)
+    active: jnp.ndarray                    # (S,) float; inactive submaps excluded
+    kf_to_submap: jnp.ndarray              # (S*K,) int32 (global kf -> submap)
+    kf_to_local: jnp.ndarray               # (S*K,) int32 (global kf -> local id)
+    # Static config.
+    d: int = struct.field(pytree_node=False, default=3)
+    fdim: int = struct.field(pytree_node=False, default=4)
+    num_levels: int = struct.field(pytree_node=False, default=2)
+    cell_sizes: Tuple[float, ...] = struct.field(pytree_node=False, default=())
+    pos_invariant: bool = struct.field(pytree_node=False, default=True)
+    decoder_fixed: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def num_submaps(self) -> int:
+        return self.Rws.shape[0]
+
+    @property
+    def max_kfs_per_submap(self) -> int:
+        return self.Rsk.shape[1]
+
+    # -- submap poses (grid_atlas.py:238-268) ------------------------------
+    def updated_submap_poses(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        R = jnp.matmul(self.Rws, se3.so3_exp(self.sub_rot_corr), precision=_HI)
+        return R, self.tws + self.sub_trans_corr
+
+    def updated_submap_pose(self, s) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        R, t = self.updated_submap_poses()
+        return R[s], t[s]
+
+    # -- keyframe poses (grid_atlas.py:270-328) ----------------------------
+    def updated_kf_poses_in_submap(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(S, K, 3, 3), (S, K, 3): corrected KF poses in their submap."""
+        R = jnp.matmul(self.Rsk, se3.so3_exp(self.kf_rot_corr), precision=_HI)
+        return R, self.tsk + self.kf_trans_corr
+
+    def updated_kf_poses_in_world(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pose composition for every global KF slot, fully batched
+        (replaces per-kf accessors grid_atlas.py:316-328).
+
+        Returns (S*K, 3, 3), (S*K, 3) indexed by global kf id.
+        """
+        R_sk, t_sk = self.updated_kf_poses_in_submap()
+        R_ws, t_ws = self.updated_submap_poses()
+        sub = self.kf_to_submap
+        loc = self.kf_to_local
+        Rk = R_sk[sub, loc]                   # (G, 3, 3)
+        tk = t_sk[sub, loc]                   # (G, 3)
+        Rw = R_ws[sub]
+        tw = t_ws[sub]
+        R = jnp.matmul(Rw, Rk, precision=_HI)
+        t = jnp.einsum("gij,gj->gi", Rw, tk, precision=_HI) + tw
+        return R, t
+
+    def updated_kf_pose_in_world(self, kf_id) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        R, t = self.updated_kf_poses_in_world()
+        return R[kf_id], t[kf_id]
+
+    # -- forward (grid_atlas.py:374-399) -----------------------------------
+    def query_feature(self, x_world: jnp.ndarray) -> jnp.ndarray:
+        """Masked average of per-submap features for points in bound.
+
+        vmapped over the submap axis; the decoder is applied by
+        __call__.  Points outside every submap get zero features
+        (reference sets sum_weights==0 -> 1).
+        """
+        R_ws, t_ws = self.updated_submap_poses()
+
+        def per_submap(feats, bound, sizes, R, t, act):
+            xs = se3.transform_points_from(x_world, R, t)
+            mask = se3.coords_in_bound(xs, bound) * act
+            f = _interp_levels_sized(feats, xs, bound, sizes, self.ignore_level)
+            return mask * f, mask
+
+        feats, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
+            self.features, self.bounds, self.sizes, R_ws, t_ws, self.active)
+        sum_w = jnp.sum(masks, axis=0)
+        sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
+        return jnp.sum(feats, axis=0) / sum_w
+
+    def __call__(self, x_world: jnp.ndarray) -> jnp.ndarray:
+        feats = self.query_feature(x_world)
+        decoder = self.decoder
+        if decoder is not None and self.decoder_fixed:
+            decoder = jax.lax.stop_gradient(decoder)
+        return interp.grid_decode(feats, x_world, decoder, True)
+
+    forward = __call__
+
+    # -- submap views ------------------------------------------------------
+    def submap(self, s: int, shapes: Optional[Sequence[Tuple[int, ...]]] = None,
+               anchor_kf: int = 0) -> GridNet:
+        """Extract submap s as a standalone GridNet (shared decoder).
+
+        ``shapes``: optional per-level logical shapes to strip padding.
+        KF poses in the GridNet are the submap-frame poses; 'world' for a
+        single submap means 'submap frame' (the reference's Tracker /
+        Mapper operate on the current submap's GridNet the same way).
+        """
+        feats = []
+        stabs = []
+        for level in range(self.num_levels):
+            f = self.features[level][s]
+            st = self.stability[level][s]
+            if shapes is not None:
+                sl = tuple(slice(0, n) for n in shapes[level])
+                f = f[sl]
+                st = st[sl]
+            feats.append(f)
+            stabs.append(st)
+        return GridNet(
+            features=tuple(feats),
+            stability=tuple(stabs),
+            decoder=self.decoder,
+            rot_corr=self.kf_rot_corr[s],
+            trans_corr=self.kf_trans_corr[s],
+            Rwk=self.Rsk[s],
+            twk=self.tsk[s],
+            bound=self.bounds[s],
+            ignore_level=self.ignore_level,
+            d=self.d,
+            fdim=self.fdim,
+            num_levels=self.num_levels,
+            cell_sizes=self.cell_sizes,
+            pos_invariant=self.pos_invariant,
+            decoder_fixed=self.decoder_fixed,
+            optimize_pose=True,
+            anchor_kf=anchor_kf,
+        )
+
+    def with_submap(self, s: int, grid: GridNet,
+                    shapes: Optional[Sequence[Tuple[int, ...]]] = None
+                    ) -> "GridAtlasParams":
+        """Write a (possibly trained) GridNet back into slot s."""
+        feats = list(self.features)
+        stabs = list(self.stability)
+        for level in range(self.num_levels):
+            if shapes is not None:
+                sl = (s,) + tuple(slice(0, n) for n in shapes[level])
+            else:
+                sl = (s,)
+            feats[level] = feats[level].at[sl].set(grid.features[level])
+            stabs[level] = stabs[level].at[sl].set(grid.stability[level])
+        return self.replace(
+            features=tuple(feats),
+            stability=tuple(stabs),
+            decoder=grid.decoder,
+            kf_rot_corr=self.kf_rot_corr.at[s].set(grid.rot_corr),
+            kf_trans_corr=self.kf_trans_corr.at[s].set(grid.trans_corr),
+            Rsk=self.Rsk.at[s].set(grid.Rwk),
+            tsk=self.tsk.at[s].set(grid.twk),
+        )
+
+
+def _interp_levels_sized(feats, x, bound, sizes, ignore_level):
+    outs = []
+    for level, g in enumerate(feats):
+        f = interp.grid_interpolate(g, x, bound, size=sizes[level])
+        if ignore_level is not None:
+            f = f * (1.0 - ignore_level[level])
+        outs.append(f)
+    return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper with SLAM bookkeeping.
+# ---------------------------------------------------------------------------
+
+class GridAtlas:
+    """Host-side atlas: pytree + bookkeeping (reference grid_atlas.py).
+
+    Keyframes and submaps are created sequentially; the first KF of each
+    submap is its anchor (grid_atlas.py:19-26).
+    """
+
+    def __init__(self, cfg_model: Dict, max_kfs_per_submap: int = 1, dtype=jnp.float32):
+        self.cfg_model = copy.deepcopy(cfg_model)
+        self.dtype = dtype
+        self.max_kfs = int(max_kfs_per_submap)
+        self.params: Optional[GridAtlasParams] = None
+        self._submap_shapes: List[List[Tuple[int, ...]]] = []  # [submap][level]
+        self._anchor_kf: List[int] = []
+        self._kf_to_submap: List[int] = []
+        self.curr_submap_id = -1
+        self.curr_kf_id = -1
+
+    # -- properties --------------------------------------------------------
+    @property
+    def num_submaps(self) -> int:
+        return len(self._anchor_kf)
+
+    @property
+    def num_keyframes(self) -> int:
+        return self.curr_kf_id + 1
+
+    @property
+    def num_levels(self) -> int:
+        return int(self.cfg_model["grid"]["n_levels"])
+
+    def anchor_kf_for_submap(self, s: int) -> int:
+        return self._anchor_kf[s]
+
+    def submap_id_for_kf(self, kf_id: int) -> int:
+        return self._kf_to_submap[kf_id]
+
+    def num_keyframes_in_submap(self, s: int) -> int:
+        return sum(1 for x in self._kf_to_submap if x == s)
+
+    def submap_shapes(self, s: int) -> List[Tuple[int, ...]]:
+        return self._submap_shapes[s]
+
+    # -- construction (grid_atlas.py:96-169) -------------------------------
+    def add_submap(self, local_bound, Rws=None, tws=None, num_poses: Optional[int] = None):
+        """Append a new submap with the given local bound and world pose."""
+        bound_np = np.asarray(local_bound, np.float32)
+        K = int(num_poses if num_poses is not None else self.max_kfs)
+        K = max(K, self.max_kfs)
+        self.max_kfs = K
+        Rws = np.eye(3, dtype=np.float32) if Rws is None else np.asarray(Rws, np.float32)
+        tws = np.zeros(3, np.float32) if tws is None else np.asarray(tws, np.float32).reshape(3)
+        grid_cfg = self.cfg_model["grid"]
+        shapes = []
+        for level in range(self.num_levels):
+            cell = float(grid_cfg["base_cell_size"]) / float(grid_cfg["per_level_scale"]) ** level
+            shapes.append(interp.grid_shape_for_bound(bound_np, cell, 3))
+        self._submap_shapes.append(shapes)
+        anchor = self.curr_kf_id + 1
+        self._anchor_kf.append(anchor)
+        self.curr_submap_id = self.num_submaps - 1
+        self._rebuild_params(new_bound=bound_np, new_Rws=Rws, new_tws=tws)
+
+    def _rebuild_params(self, new_bound, new_Rws, new_tws):
+        """Re-stack arrays to include the new submap (host-side realloc)."""
+        S = self.num_submaps
+        K = self.max_kfs
+        L = self.num_levels
+        fdim = int(self.cfg_model["grid"]["feature_dim"])
+        d = 3
+        # Padded storage shapes per level = max over submaps.
+        pad_shapes = []
+        for level in range(L):
+            pad_shapes.append(tuple(
+                max(sh[level][k] for sh in self._submap_shapes) for k in range(d)))
+        old = self.params
+
+        features, stability, sizes = [], [], []
+        for level in range(L):
+            f = np.zeros((S, *pad_shapes[level], fdim), np.float32)
+            st = np.zeros((S, *pad_shapes[level], 1), np.float32)
+            sz = np.zeros((S, d), np.int32)
+            for s in range(S):
+                sz[s] = self._submap_shapes[s][level]
+            if old is not None:
+                of = np.asarray(old.features[level])
+                ost = np.asarray(old.stability[level])
+                sl = (slice(0, of.shape[0]),) + tuple(slice(0, n) for n in of.shape[1:])
+                f[sl] = of
+                st[(slice(0, ost.shape[0]),) + tuple(slice(0, n) for n in ost.shape[1:])] = ost
+            features.append(jnp.asarray(f))
+            stability.append(jnp.asarray(st))
+            sizes.append(jnp.asarray(sz))
+
+        def grow(old_arr, new_shape, fill=0.0):
+            out = np.full(new_shape, fill, np.float32)
+            if old_arr is not None:
+                oa = np.asarray(old_arr)
+                out[tuple(slice(0, n) for n in oa.shape)] = oa
+            return out
+
+        eye = np.broadcast_to(np.eye(3, dtype=np.float32), (S, K, 3, 3)).copy()
+        eyeS = np.broadcast_to(np.eye(3, dtype=np.float32), (S, 3, 3)).copy()
+        Rws = grow(old.Rws if old else None, (S, 3, 3))
+        Rws[S - 1] = new_Rws
+        if old is None:
+            pass
+        Rsk = eye
+        if old is not None:
+            oR = np.asarray(old.Rsk)
+            oldK = oR.shape[1]
+            Rsk[: oR.shape[0], :oldK] = oR
+        tws = grow(old.tws if old else None, (S, 3))
+        tws[S - 1] = new_tws
+        bounds = grow(np.asarray(old.bounds) if old else None, (S, d, 2))
+        bounds[S - 1] = new_bound
+        kf_map = np.zeros((S * K,), np.int32)
+        kf_loc = np.zeros((S * K,), np.int32)
+        for kf, sub in enumerate(self._kf_to_submap):
+            kf_map[kf] = sub
+            kf_loc[kf] = kf - self._anchor_kf[sub]
+
+        dcfg = self.cfg_model.get("decoder", {"type": "none"})
+        if old is not None:
+            decoder = old.decoder
+        else:
+            tmp = create_grid_net(jax.random.PRNGKey(0), self.cfg_model,
+                                  bound=new_bound, num_poses=1)
+            decoder = tmp.decoder
+
+        grid_cfg = self.cfg_model["grid"]
+        cell_sizes = tuple(
+            float(grid_cfg["base_cell_size"]) / float(grid_cfg["per_level_scale"]) ** l
+            for l in range(L))
+        self.params = GridAtlasParams(
+            features=tuple(features),
+            stability=tuple(stability),
+            decoder=decoder,
+            sub_rot_corr=jnp.asarray(grow(old.sub_rot_corr if old else None, (S, 3))),
+            sub_trans_corr=jnp.asarray(grow(old.sub_trans_corr if old else None, (S, 3))),
+            Rws=jnp.asarray(Rws),
+            tws=jnp.asarray(tws),
+            kf_rot_corr=jnp.asarray(grow(old.kf_rot_corr if old else None, (S, K, 3))),
+            kf_trans_corr=jnp.asarray(grow(old.kf_trans_corr if old else None, (S, K, 3))),
+            Rsk=jnp.asarray(Rsk),
+            tsk=jnp.asarray(grow(old.tsk if old else None, (S, K, 3))),
+            bounds=jnp.asarray(bounds),
+            sizes=tuple(sizes),
+            ignore_level=jnp.zeros((L,), jnp.float32),
+            active=jnp.ones((S,), jnp.float32),
+            kf_to_submap=jnp.asarray(kf_map),
+            kf_to_local=jnp.asarray(kf_loc),
+            d=d,
+            fdim=fdim,
+            num_levels=L,
+            cell_sizes=cell_sizes,
+            pos_invariant=bool(dcfg.get("pos_invariant", True)),
+            decoder_fixed=bool(dcfg.get("fix", True)),
+        )
+
+    def add_kf(self, Rsk=None, tsk=None) -> int:
+        """Add a keyframe to the current submap (grid_atlas.py:96-115)."""
+        assert self.curr_submap_id >= 0, "Create a submap first."
+        s = self.curr_submap_id
+        kf_global = self.curr_kf_id + 1
+        kf_local = kf_global - self._anchor_kf[s]
+        assert kf_local < self.max_kfs, (
+            f"Submap {s} exceeded max_kfs_per_submap={self.max_kfs}")
+        self._kf_to_submap.append(s)
+        Rsk = np.eye(3, dtype=np.float32) if Rsk is None else np.asarray(Rsk, np.float32)
+        tsk = np.zeros(3, np.float32) if tsk is None else np.asarray(tsk, np.float32).reshape(3)
+        p = self.params
+        self.params = p.replace(
+            Rsk=p.Rsk.at[s, kf_local].set(Rsk),
+            tsk=p.tsk.at[s, kf_local].set(tsk),
+            kf_rot_corr=p.kf_rot_corr.at[s, kf_local].set(0.0),
+            kf_trans_corr=p.kf_trans_corr.at[s, kf_local].set(0.0),
+            kf_to_submap=p.kf_to_submap.at[kf_global].set(s),
+            kf_to_local=p.kf_to_local.at[kf_global].set(kf_local),
+        )
+        self.curr_kf_id = kf_global
+        return kf_global
+
+    def set_kf_pose(self, kf_id: int, Rsk, tsk):
+        s = self.submap_id_for_kf(kf_id)
+        loc = kf_id - self._anchor_kf[s]
+        p = self.params
+        self.params = p.replace(
+            Rsk=p.Rsk.at[s, loc].set(jnp.asarray(Rsk)),
+            tsk=p.tsk.at[s, loc].set(jnp.asarray(tsk).reshape(3)),
+            kf_rot_corr=p.kf_rot_corr.at[s, loc].set(0.0),
+            kf_trans_corr=p.kf_trans_corr.at[s, loc].set(0.0),
+        )
+
+    def set_submap_pose(self, s: int, Rws, tws):
+        p = self.params
+        self.params = p.replace(
+            Rws=p.Rws.at[s].set(jnp.asarray(Rws)),
+            tws=p.tws.at[s].set(jnp.asarray(tws).reshape(3)),
+            sub_rot_corr=p.sub_rot_corr.at[s].set(0.0),
+            sub_trans_corr=p.sub_trans_corr.at[s].set(0.0),
+        )
+
+    def set_submap_pose_correction(self, s: int, dr, dt):
+        p = self.params
+        self.params = p.replace(
+            sub_rot_corr=p.sub_rot_corr.at[s].set(jnp.asarray(dr).reshape(3)),
+            sub_trans_corr=p.sub_trans_corr.at[s].set(jnp.asarray(dt).reshape(3)),
+        )
+
+    # -- views -------------------------------------------------------------
+    def get_submap(self, s: int) -> GridNet:
+        return self.params.submap(s, self._submap_shapes[s], self._anchor_kf[s])
+
+    def set_submap(self, s: int, grid: GridNet):
+        self.params = self.params.with_submap(s, grid, self._submap_shapes[s])
+
+    def global_bound(self) -> np.ndarray:
+        """World AABB over transformed submap corners (grid_atlas.py:330-356)."""
+        R, t = self.params.updated_submap_poses()
+        R = np.asarray(R)
+        t = np.asarray(t)
+        corners_all = []
+        for s in range(self.num_submaps):
+            b = np.asarray(self.params.bounds[s])
+            corners = np.array([[b[0, i], b[1, j], b[2, k]]
+                                for i in range(2) for j in range(2) for k in range(2)],
+                               np.float32)
+            corners_all.append(corners @ R[s].T + t[s])
+        corners_all = np.concatenate(corners_all)
+        return np.stack([corners_all.min(0), corners_all.max(0)], axis=1)
+
+    def check_submap_intersection(self, src: int, dst: int, overlap_thresh=1e-2) -> bool:
+        """Finest-level vertices of src tested against dst bound
+        (grid_atlas.py:405-420)."""
+        p = self.params
+        shape = self._submap_shapes[src][-1]
+        verts = interp.vertex_positions(shape, p.bounds[src])
+        R, t = p.updated_submap_poses()
+        world = se3.transform_points_to(verts, R[src], t[src])
+        local = se3.transform_points_from(world, R[dst], t[dst])
+        mask = se3.coords_in_bound(local, p.bounds[dst])
+        return float(jnp.mean(mask)) > overlap_thresh
+
+    def precompute_coordinates_for_alignment(self, norm_thresh=1e-5,
+                                             max_points: Optional[int] = None):
+        """Per (submap, level): grid-vertex coords whose multi-level
+        feature norm exceeds the threshold (grid_atlas.py:565-587).
+
+        Returns dict[(s, level)] -> (coords (P, 3), valid (P, 1)) with P
+        padded to a fixed per-level maximum so alignment batches have
+        static shapes.
+        """
+        out = {}
+        p = self.params
+        for level in range(self.num_levels):
+            per_submap = []
+            for s in range(self.num_submaps):
+                shape = self._submap_shapes[s][level]
+                verts = interp.vertex_positions(shape, p.bounds[s])
+                grid = self.get_submap(s)
+                feat = grid.query_feature(verts)
+                norm = np.asarray(jnp.linalg.norm(feat, axis=1))
+                coords = np.asarray(verts)[norm > norm_thresh]
+                per_submap.append(coords)
+            P = max((len(c) for c in per_submap), default=0)
+            P = max(P, 1)
+            if max_points is not None:
+                P = min(P, max_points)
+            for s, coords in enumerate(per_submap):
+                n = len(coords)
+                if n == 0:
+                    padded = np.zeros((P, 3), np.float32)
+                    valid = np.zeros((P, 1), np.float32)
+                elif n >= P:
+                    sel = np.random.default_rng(0).choice(n, P, replace=False) \
+                        if n > P else np.arange(P)
+                    padded = coords[sel]
+                    valid = np.ones((P, 1), np.float32)
+                else:
+                    reps = int(np.ceil(P / n))
+                    padded = np.tile(coords, (reps, 1))[:P]
+                    valid = np.zeros((P, 1), np.float32)
+                    valid[:n] = 1.0
+                out[(s, level)] = (jnp.asarray(padded.astype(np.float32)),
+                                   jnp.asarray(valid))
+        self._coords_for_alignment = out
+        return out
+
+    def coordinates_for_alignment(self, s: int, level: int):
+        return self._coords_for_alignment[(s, level)]
+
+
+def grid_atlas_mask(params: GridAtlasParams,
+                    features: bool = False,
+                    stability: bool = False,
+                    decoder: bool = False,
+                    submap_pose: bool = False,
+                    kf_pose: bool = False,
+                    anchor_first_submap: bool = True,
+                    feature_lr: float = 1.0,
+                    submap_pose_lr: float = 1.0,
+                    kf_pose_lr: float = 1.0) -> GridAtlasParams:
+    """Trainability/LR mask for a GridAtlasParams pytree.
+
+    Replaces the reference's lock_submap / lock_submap_pose /
+    lock_keyframe_pose / params_for_* plumbing (grid_atlas.py:45-77,
+    541-563).  ``anchor_first_submap`` reproduces 'submap 0 fixed at
+    origin' (align/base.py:104-110).
+    """
+    def zeros(x):
+        return jax.tree_util.tree_map(lambda _: jnp.asarray(0.0, jnp.float32), x)
+
+    def fulls(x, v):
+        return jax.tree_util.tree_map(lambda _: jnp.asarray(float(v), jnp.float32), x)
+
+    S = params.num_submaps
+    sub_mask = jnp.full((S, 1), float(submap_pose) * submap_pose_lr, jnp.float32)
+    if anchor_first_submap and S > 0:
+        sub_mask = sub_mask.at[0].set(0.0)
+    kf_mask = jnp.asarray(float(kf_pose) * kf_pose_lr, jnp.float32)
+    return params.replace(
+        features=tuple(jnp.asarray(float(features) * feature_lr, jnp.float32)
+                       for _ in params.features),
+        stability=tuple(jnp.asarray(float(stability) * feature_lr, jnp.float32)
+                        for _ in params.stability),
+        decoder=(fulls(params.decoder, float(decoder)) if params.decoder is not None else None),
+        sub_rot_corr=sub_mask,
+        sub_trans_corr=sub_mask,
+        Rws=zeros(params.Rws),
+        tws=zeros(params.tws),
+        kf_rot_corr=kf_mask,
+        kf_trans_corr=kf_mask,
+        Rsk=zeros(params.Rsk),
+        tsk=zeros(params.tsk),
+        bounds=zeros(params.bounds),
+        sizes=tuple(zeros(s) for s in params.sizes),
+        ignore_level=zeros(params.ignore_level),
+        active=zeros(params.active),
+        kf_to_submap=zeros(params.kf_to_submap),
+        kf_to_local=zeros(params.kf_to_local),
+    )

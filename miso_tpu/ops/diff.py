@@ -1,0 +1,44 @@
+"""Spatial gradients of scalar fields (reference `grid_opt/diff.py`).
+
+Both the central-finite-difference and the autodiff path are provided.
+The autodiff path uses jax.vjp and is itself differentiable (composes
+with outer jax.grad for eikonal / smoothness training) -- this is the
+functionality the reference needed its CUDA double-backward
+grid_sample extension for.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gradient(x, f, method="autograd", finite_diff_eps=1e-2):
+    """Gradient of scalar field f at points x (N, d) -> (N, d).
+
+    f maps (N, d) -> (N, 1) (or (N,)).
+    """
+    d = x.shape[-1]
+    if method in ("finitediff", "finite_diff"):
+        grads = []
+        for k in range(d):
+            e = jnp.zeros((d,), x.dtype).at[k].set(finite_diff_eps)
+            hi = f(x + e).reshape(-1, 1)
+            lo = f(x - e).reshape(-1, 1)
+            grads.append((hi - lo) / (2.0 * finite_diff_eps))
+        return jnp.concatenate(grads, axis=-1)
+    elif method == "autograd":
+        def scalar_sum(xx):
+            return jnp.sum(f(xx))
+        return jax.grad(scalar_sum)(x)
+    else:
+        raise ValueError(f"Unknown gradient method: {method}")
+
+
+def gradient3d(x, f, method="autograd", finite_diff_eps=1e-2):
+    assert x.shape[-1] == 3
+    return gradient(x, f, method, finite_diff_eps)
+
+
+def gradient2d(x, f, method="autograd", finite_diff_eps=1e-2):
+    assert x.shape[-1] == 2
+    return gradient(x, f, method, finite_diff_eps)

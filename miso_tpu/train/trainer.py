@@ -1,0 +1,253 @@
+"""Training loops: Trainer + GridTrainer (coarse-to-fine).
+
+Re-design of `grid_opt/trainer.py`.  The whole optimization step --
+loss, gradients, NaN guard, masked Adam update -- is ONE jitted
+function; training phases (per-level coordinate descent, joint
+finetune, pose/feature locking) only change the runtime mask pytree, so
+the step never recompiles (the reference instead builds one torch
+optimizer per level, trainer.py:429-437).
+
+Epoch semantics follow the reference: one epoch = one freshly sampled
+mega-batch from the dataset (SURVEY.md section 2.7).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miso_tpu.losses.common import total_loss
+from miso_tpu.models.base import relative_param_change, masked_select_tree, tree_full_mask
+from miso_tpu.train.optim import (
+    MaskedAdamState,
+    masked_adam_init,
+    masked_adam_update,
+    masked_sgd_init,
+    masked_sgd_update,
+)
+
+
+def make_train_step(loss_fn: Callable, optimizer: str = "adam"):
+    """Build the jitted train step.
+
+    loss_fn(model, batch, key) -> dict of scalar losses.
+    Returned step(model, opt_state, batch, key, mask, lr) ->
+    (model, opt_state, total, loss_dict).
+    """
+
+    def step(model, opt_state, batch, key, mask, lr):
+        def objective(m):
+            d = loss_fn(m, batch, key)
+            return total_loss(d), d
+
+        (tl, loss_dict), grads = jax.value_and_grad(objective, has_aux=True)(model)
+        # NaN guard (reference trainer.py:215-219): suppress the update.
+        bad = jnp.logical_not(jnp.isfinite(tl))
+        guard = jnp.where(bad, 0.0, 1.0)
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        eff_mask = jax.tree_util.tree_map(lambda m_: m_ * guard, mask)
+        if optimizer == "adam":
+            new_model, new_opt = masked_adam_update(grads, opt_state, model, eff_mask, lr=lr)
+        elif optimizer == "sgd":
+            new_model, new_opt = masked_sgd_update(grads, opt_state, model, eff_mask, lr=lr)
+        else:
+            raise ValueError(f"Invalid optimizer: {optimizer}")
+        return new_model, new_opt, tl, loss_dict
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+class Trainer:
+    """Generic loop (reference trainer.py:15-362).
+
+    Args:
+      cfg: reference-style train cfg dict (epochs, learning_rate,
+        optimizer, eval_every, ckpt_every, verbose, log_dir, ...).
+      model: pytree model.
+      loss_fn: (model, batch, key) -> dict.
+      dataset: object with ``sample(rng) -> dict of numpy arrays``
+        (one mega-batch per epoch).
+      mask: trainability mask pytree; defaults to all-trainable.
+    """
+
+    def __init__(self, cfg: Dict, model, loss_fn, dataset, val_dataset=None,
+                 mask=None, seed: int = 0):
+        self.cfg = cfg
+        self.model = model
+        self.loss_fn = loss_fn
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.verbose = cfg.get("verbose", False)
+        self.lr = float(cfg.get("learning_rate", 1e-3))
+        self.optimizer_name = cfg.get("optimizer", "adam")
+        self.mask = mask if mask is not None else tree_full_mask(model)
+        if self.optimizer_name == "adam":
+            self.opt_state = masked_adam_init(model)
+        else:
+            self.opt_state = masked_sgd_init(model)
+        self.step_fn = make_train_step(loss_fn, self.optimizer_name)
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.eval_every = cfg.get("eval_every", -1)
+        self.ckpt_every = cfg.get("ckpt_every", -1)
+        self.log_dir = cfg.get("log_dir", None)
+        self.train_dict: Dict[str, List] = {"epochs": [], "elapsed_time": [],
+                                            "epoch_time": [], "total_loss": []}
+        self.val_dict: Dict[str, List] = {"epochs": [], "total_loss": []}
+        self.custom_eval_funcs: Dict[str, Callable] = {}
+        self.custom_eval_dict: Dict[str, List] = {"epochs": []}
+        self._params_prev = None
+        self.relchange = np.inf
+        self.total_epoch_time = 0.0
+        self._train_start = time.process_time()
+
+    # -- hooks (overridable, reference trainer.py:141-168) -----------------
+    def pre_epoch(self, epoch: int):
+        if self.eval_every > 0 and epoch % self.eval_every == 0:
+            self.run_eval(epoch)
+
+    def post_epoch(self, epoch: int):
+        if self.ckpt_every > 0 and epoch % self.ckpt_every == 0:
+            self.save_model(epoch, f"ckpt_{epoch}")
+
+    def current_mask(self):
+        return self.mask
+
+    # -- main loop ---------------------------------------------------------
+    def train(self):
+        epochs = int(self.cfg.get("epochs", 1))
+        for epoch in range(epochs):
+            self.pre_epoch(epoch)
+            self.train_epoch(epoch)
+            self.post_epoch(epoch)
+        if self.eval_every > 0:
+            self.run_eval(epochs)
+        if self.ckpt_every > 0:
+            self.save_model(epochs, "final")
+        return self.model
+
+    def _next_batch(self):
+        batch = self.dataset.sample(self.rng)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def train_epoch(self, epoch: int):
+        t0 = time.perf_counter()
+        batch = self._next_batch()
+        self.key, sub = jax.random.split(self.key)
+        self.model, self.opt_state, tl, loss_dict = self.step_fn(
+            self.model, self.opt_state, batch, sub, self.current_mask(),
+            jnp.asarray(self.lr, jnp.float32))
+        if self.verbose and epoch % 10 == 0:
+            print(f"Train epoch {epoch} | train_loss={float(tl):.2e}")
+        self.total_epoch_time += time.perf_counter() - t0
+        self._last_loss_dict = loss_dict
+
+    # -- eval --------------------------------------------------------------
+    def register_eval_func(self, name: str, func: Callable):
+        self.custom_eval_funcs[name] = func
+        self.custom_eval_dict[name] = []
+
+    def run_eval(self, epoch: int):
+        self.eval(epoch, "train")
+        self.eval(epoch, "val")
+        self.custom_eval_dict["epochs"].append(epoch)
+        for name, func in self.custom_eval_funcs.items():
+            self.custom_eval_dict[name].append(
+                func(epoch, self.cfg, self.model, self.loss_fn,
+                     self.dataset, self.val_dataset))
+
+    def eval(self, epoch: int, mode: str = "train"):
+        dataset = self.dataset if mode == "train" else self.val_dataset
+        target = self.train_dict if mode == "train" else self.val_dict
+        if dataset is None:
+            return
+        batch = {k: jnp.asarray(v) for k, v in dataset.sample(self.rng).items()}
+        self.key, sub = jax.random.split(self.key)
+        loss_dict = self.loss_fn(self.model, batch, sub)
+        target["epochs"].append(epoch)
+        tl = 0.0
+        for name, val in loss_dict.items():
+            v = float(jnp.mean(val))
+            target.setdefault(name, []).append(v)
+            tl += v
+        target["total_loss"].append(tl)
+        if mode == "train":
+            target["elapsed_time"].append(time.process_time() - self._train_start)
+            target["epoch_time"].append(self.total_epoch_time)
+        if self.verbose:
+            print(f"Epoch {epoch} {mode} total loss: {tl:.2e}")
+
+    def update_relchange(self, mask=None):
+        """Relative change of (masked) params (reference trainer.py:231-242)."""
+        params = masked_select_tree(self.model, mask if mask is not None else self.mask)
+        if self._params_prev is None:
+            self._params_prev = params
+            self.relchange = np.inf
+            return self.relchange
+        self.relchange = float(relative_param_change(params, self._params_prev))
+        self._params_prev = params
+        return self.relchange
+
+    def save_model(self, epoch: int, name: str):
+        if self.log_dir is None:
+            return
+        import os
+
+        from miso_tpu.train.checkpoint import save_pytree
+
+        path = os.path.join(self.log_dir, "ckpt", f"{name}.npz")
+        save_pytree(path, {"model": self.model}, meta={"epoch": epoch})
+
+
+class GridTrainer(Trainer):
+    """Coarse-to-fine trainer (reference trainer.py:370-491).
+
+    Modes: 'coordinate' (level-by-level, stay at finest),
+    'coordinate+joint' (then unlock everything), 'joint'.
+    Level switching: relchange < tol or max_epochs_in_level reached.
+    Only the mask changes between phases -- zero recompiles.
+    """
+
+    def __init__(self, cfg, model, loss_fn, dataset, val_dataset=None,
+                 mask_for_level: Optional[Callable] = None, seed: int = 0):
+        super().__init__(cfg, model, loss_fn, dataset, val_dataset, seed=seed)
+        from miso_tpu.models.grid_net import grid_net_mask
+
+        self.mask_for_level = mask_for_level or (
+            lambda m, level: grid_net_mask(m, level=level))
+        self.relchange_tol = float(cfg.get("relchange_tol", 0.0))
+        self.max_epochs_in_level = int(cfg.get("max_epochs_in_level", 100))
+        self.mode = cfg.get("grid_training_mode", "coordinate+joint")
+        self.num_levels = model.num_levels
+        self.active_level = self.num_levels if self.mode == "joint" else 0
+        self.epochs_in_level = 0
+        self.mask = self.mask_for_level(self.model, self.active_level)
+
+    def reset_convergence_check(self):
+        self._params_prev = None
+        self.relchange = np.inf
+        self.epochs_in_level = 0
+
+    def pre_epoch(self, epoch: int):
+        super().pre_epoch(epoch)
+        if self.relchange_tol > 0:
+            self.update_relchange()
+        if (self.relchange < self.relchange_tol
+                or self.epochs_in_level >= self.max_epochs_in_level):
+            if self.active_level < self.num_levels:
+                self.train_dict[f"level{self.active_level}_last_epoch"] = epoch
+                self.active_level += 1
+                if self.active_level >= self.num_levels:
+                    if self.mode == "coordinate":
+                        # Keep training the finest level (trainer.py:469-470).
+                        self.mask = self.mask_for_level(self.model, self.num_levels - 1)
+                    else:
+                        # Joint finetune over all levels.
+                        self.mask = self.mask_for_level(self.model, self.num_levels)
+                else:
+                    self.mask = self.mask_for_level(self.model, self.active_level)
+                self.reset_convergence_check()
+        self.epochs_in_level += 1
