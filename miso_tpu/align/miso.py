@@ -175,9 +175,11 @@ def generic_align_multiple_submaps(
             tl = total_loss(loss_dict)
             return tl, loss_dict
 
-        (tl, loss_dict), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        (tl, loss_dict), grads = jax.value_and_grad(
+            objective, has_aux=True, allow_int=True)(params)
         bad = jnp.logical_not(jnp.isfinite(tl))
-        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        grads = jax.tree_util.tree_map(
+            lambda g: g if g.dtype == jax.dtypes.float0 else jnp.nan_to_num(g), grads)
         eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask)
         new_params, new_opt = masked_adam_update(grads, opt_state, params, eff, lr=lr)
         return new_params, new_opt, tl
@@ -197,7 +199,8 @@ def generic_align_multiple_submaps(
             iteration_results[it] = T
         key, sub = jax.random.split(key)
         params, opt_state, tl = step(params, opt_state, sub)
-        cur = (params.sub_rot_corr, params.sub_trans_corr)
+        # Host snapshot: the device buffers get donated next iteration.
+        cur = (np.asarray(params.sub_rot_corr), np.asarray(params.sub_trans_corr))
         relchange = float(relative_param_change(cur, prev)) if prev is not None else np.inf
         prev = cur
         if verbose:

@@ -44,6 +44,9 @@ def masked_adam_update(grads, state: MaskedAdamState, params, mask,
     """Returns (new_params, new_state)."""
 
     def upd(g, m, v, step, p, mk):
+        if g.dtype == jax.dtypes.float0:
+            # Integer/bool parameter (bookkeeping arrays): never updated.
+            return p, m, v, step
         g = g.astype(jnp.float32)
         on = (mk > 0).astype(jnp.float32)
         on_b = jnp.broadcast_to(on, jnp.broadcast_shapes(on.shape, p.shape))
@@ -81,7 +84,10 @@ def masked_sgd_init(params) -> MaskedSgdState:
 
 
 def masked_sgd_update(grads, state: MaskedSgdState, params, mask, lr=1e-3):
-    new_params = jax.tree_util.tree_map(
-        lambda p, g, mk: p - (lr * mk * g.astype(jnp.float32)).astype(p.dtype),
-        params, grads, mask)
+    def upd(p, g, mk):
+        if g.dtype == jax.dtypes.float0:
+            return p
+        return p - (lr * mk * g.astype(jnp.float32)).astype(p.dtype)
+
+    new_params = jax.tree_util.tree_map(upd, params, grads, mask)
     return new_params, state

@@ -43,11 +43,13 @@ def make_train_step(loss_fn: Callable, optimizer: str = "adam"):
             d = loss_fn(m, batch, key)
             return total_loss(d), d
 
-        (tl, loss_dict), grads = jax.value_and_grad(objective, has_aux=True)(model)
+        (tl, loss_dict), grads = jax.value_and_grad(
+            objective, has_aux=True, allow_int=True)(model)
         # NaN guard (reference trainer.py:215-219): suppress the update.
         bad = jnp.logical_not(jnp.isfinite(tl))
         guard = jnp.where(bad, 0.0, 1.0)
-        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        grads = jax.tree_util.tree_map(
+            lambda g: g if g.dtype == jax.dtypes.float0 else jnp.nan_to_num(g), grads)
         eff_mask = jax.tree_util.tree_map(lambda m_: m_ * guard, mask)
         if optimizer == "adam":
             new_model, new_opt = masked_adam_update(grads, opt_state, model, eff_mask, lr=lr)
@@ -181,8 +183,13 @@ class Trainer:
             print(f"Epoch {epoch} {mode} total loss: {tl:.2e}")
 
     def update_relchange(self, mask=None):
-        """Relative change of (masked) params (reference trainer.py:231-242)."""
+        """Relative change of (masked) params (reference trainer.py:231-242).
+
+        Snapshots to host arrays: device buffers are donated by the
+        next train step.
+        """
         params = masked_select_tree(self.model, mask if mask is not None else self.mask)
+        params = jax.tree_util.tree_map(np.asarray, params)
         if self._params_prev is None:
             self._params_prev = params
             self.relchange = np.inf

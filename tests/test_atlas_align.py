@@ -1,0 +1,139 @@
+"""GridAtlas + hierarchical alignment tests.
+
+Alignment test mirrors the reference's synthetic validation strategy
+(SURVEY.md section 4: perturb -> align -> pose-RMSE threshold), but without
+training: both submaps' grids are filled from one smooth analytic world
+feature field, so the latent alignment optimum is the GT relative pose.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miso_tpu.align.miso import align_multiple_submaps_hierarchical
+from miso_tpu.models.grid_atlas import GridAtlas, grid_atlas_mask
+from miso_tpu.ops import interp, se3
+
+CFG_MODEL = {
+    "spatial_dim": 3,
+    "grid": {"type": "regular", "feature_dim": 2, "init_stddev": 0.0,
+             "bound": [[-1, 1], [-1, 1], [-1, 1]],
+             "base_cell_size": 0.5, "per_level_scale": 2.0, "n_levels": 2},
+    "decoder": {"type": "mlp", "hidden_dim": 16, "hidden_layers": 1,
+                "out_dim": 1, "pos_invariant": True, "fix": True,
+                "pretrained_model": None},
+    "pose": {"optimize": True, "num_poses": 4},
+}
+
+
+def world_feature(x):
+    """Smooth, spatially-distinctive world feature field (N, 3) -> (N, 2)."""
+    x = np.asarray(x)
+    f0 = (np.sin(2.1 * x[:, 0] + 0.5) + 0.8 * np.cos(1.7 * x[:, 1])
+          + 0.6 * np.sin(1.9 * x[:, 2] + 0.3) + 0.4 * np.sin(1.3 * (x[:, 0] + x[:, 1])))
+    f1 = (0.7 * np.cos(2.3 * x[:, 1] + 1.0) + 0.5 * np.sin(1.6 * x[:, 0] - 0.4)
+          + 0.6 * np.cos(1.8 * x[:, 2]) + 0.3 * np.cos(1.1 * (x[:, 1] + x[:, 2])))
+    return np.stack([f0, f1], axis=-1).astype(np.float32)
+
+
+def build_atlas(n_submaps=2, offset=0.5):
+    # offset is an integer multiple of every level's cell size so the two
+    # submaps' lattices coincide in world space: their trilinear
+    # reconstructions agree exactly at the GT pose (sharp zero minimum).
+    """Overlapping submaps along x, grids filled from the world field."""
+    atlas = GridAtlas(CFG_MODEL, max_kfs_per_submap=4)
+    bound = np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32)
+    for s in range(n_submaps):
+        t = np.array([offset * s, 0, 0], np.float32)
+        atlas.add_submap(bound, np.eye(3, dtype=np.float32), t)
+        atlas.add_kf()  # anchor
+    p = atlas.params
+    feats = []
+    for level in range(p.num_levels):
+        shape = atlas.submap_shapes(0)[level]
+        arrs = []
+        for s in range(n_submaps):
+            verts = np.asarray(interp.vertex_positions(shape, p.bounds[s]))
+            world = verts + np.array([offset * s, 0, 0], np.float32)
+            arrs.append(world_feature(world).reshape(*shape, 2))
+        feats.append(jnp.asarray(np.stack(arrs)))
+    atlas.params = p.replace(features=tuple(feats))
+    return atlas
+
+
+def test_atlas_forward_and_poses():
+    atlas = build_atlas()
+    p = atlas.params
+    # Submap poses compose correctly.
+    R, t = p.updated_submap_poses()
+    np.testing.assert_allclose(np.asarray(t), [[0, 0, 0], [0.5, 0, 0]], atol=1e-6)
+    Rg, tg = p.updated_kf_poses_in_world()
+    np.testing.assert_allclose(np.asarray(tg[1]), [0.5, 0, 0], atol=1e-6)
+    # Forward: points in overlap take masked average of both submaps
+    # (grid_atlas.py:374-391 semantics).
+    x = jnp.asarray(np.array([[0.4, 0.0, 0.0]], np.float32))
+    feats = p.query_feature(x)
+    manual = []
+    for s in range(2):
+        g = atlas.get_submap(s)
+        xs = x - jnp.asarray([[0.5 * s, 0.0, 0.0]])
+        manual.append(np.asarray(g.query_feature(xs)))
+    np.testing.assert_allclose(np.asarray(feats), 0.5 * (manual[0] + manual[1]),
+                               rtol=1e-5, atol=1e-5)
+    out = p(x)
+    assert out.shape == (1, 1)
+    # A point outside every submap -> zero features.
+    far = jnp.asarray(np.array([[50.0, 0, 0]], np.float32))
+    np.testing.assert_allclose(np.asarray(p.query_feature(far)), 0.0)
+
+
+def test_submap_view_roundtrip():
+    atlas = build_atlas()
+    g = atlas.get_submap(1)
+    assert g.features[0].shape == (4, 4, 4, 2)
+    # Mutate and write back.
+    g2 = g.replace(features=tuple(f + 1.0 for f in g.features))
+    atlas.set_submap(1, g2)
+    np.testing.assert_allclose(
+        np.asarray(atlas.get_submap(1).features[0]),
+        np.asarray(g.features[0]) + 1.0, atol=1e-6)
+
+
+def test_intersection_check():
+    atlas = build_atlas(offset=0.5)
+    assert atlas.check_submap_intersection(0, 1)
+    far_atlas = build_atlas(offset=10.0)
+    assert not far_atlas.check_submap_intersection(0, 1)
+
+
+def test_hierarchical_alignment_recovers_pose():
+    atlas = build_atlas()
+    # Perturb submap 1 pose (align_submaps.py:265-273 analog, smaller noise).
+    dr = np.array([0.0, 0.0, 0.06], np.float32)   # ~3.4 deg yaw
+    dt = np.array([0.08, -0.05, 0.04], np.float32)
+    atlas.set_submap_pose_correction(1, dr, dt)
+    R, t = atlas.params.updated_submap_poses()
+    err_t0 = float(jnp.linalg.norm(t[1] - jnp.asarray([0.5, 0, 0])))
+    err_r0 = float(se3.rotation_rmse_deg(R[1:2], se3.identity_rotations(1)))
+    assert err_t0 > 0.05
+
+    align_multiple_submaps_hierarchical(
+        atlas, level_iters=120, lr=5e-3, align_weight=3000.0,
+        align_loss="L2", latent_levels=[0, 1], skip_finetune=True,
+        verbose=False)
+
+    R, t = atlas.params.updated_submap_poses()
+    err_t = float(jnp.linalg.norm(t[1] - jnp.asarray([0.5, 0, 0])))
+    err_r = float(se3.rotation_rmse_deg(R[1:2], se3.identity_rotations(1)))
+    assert err_t < 0.4 * err_t0, (err_t0, err_t)
+    assert err_r < 0.6 * err_r0, (err_r0, err_r)
+    # Submap 0 stayed anchored.
+    np.testing.assert_allclose(np.asarray(atlas.params.sub_trans_corr[0]), 0.0)
+
+
+def test_atlas_mask_shapes():
+    atlas = build_atlas()
+    mask = grid_atlas_mask(atlas.params, submap_pose=True)
+    assert float(mask.sub_rot_corr[0, 0]) == 0.0  # anchored
+    assert float(mask.sub_rot_corr[1, 0]) == 1.0
+    assert float(jnp.asarray(mask.features[0])) == 0.0
