@@ -160,11 +160,18 @@ def generic_align_multiple_submaps(
     if check_intersection:
         submap_pairs = [(i, j) for (i, j) in submap_pairs
                         if atlas.check_submap_intersection(i, j)]
-    mask = grid_atlas_mask(params, submap_pose=True, anchor_first_submap=True)
-    opt_state = masked_adam_init(params)
+    # Optimize over the small pose-only pytree; grids stay closure
+    # constants and are never rewritten (the reference re-steps the
+    # whole model through torch Adam each iteration).
+    pose0 = (params.sub_rot_corr, params.sub_trans_corr)
+    S = atlas.num_submaps
+    row_mask = jnp.ones((S, 1), jnp.float32).at[0].set(0.0)  # submap 0 anchored
+    pose_mask = (row_mask, row_mask)
+    opt_state = masked_adam_init(pose0)
 
-    def step(params, opt_state, key):
-        def objective(p):
+    def step(pose, opt_state, key):
+        def objective(pose):
+            p = params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
             loss_dict = {}
             keys = jax.random.split(key, max(len(submap_pairs), 1))
             for k, (s, d) in enumerate(submap_pairs):
@@ -175,32 +182,31 @@ def generic_align_multiple_submaps(
             tl = total_loss(loss_dict)
             return tl, loss_dict
 
-        (tl, loss_dict), grads = jax.value_and_grad(
-            objective, has_aux=True, allow_int=True)(params)
+        (tl, loss_dict), grads = jax.value_and_grad(objective, has_aux=True)(pose)
         bad = jnp.logical_not(jnp.isfinite(tl))
-        grads = jax.tree_util.tree_map(
-            lambda g: g if g.dtype == jax.dtypes.float0 else jnp.nan_to_num(g), grads)
-        eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask)
-        new_params, new_opt = masked_adam_update(grads, opt_state, params, eff, lr=lr)
-        return new_params, new_opt, tl
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), pose_mask)
+        new_pose, new_opt = masked_adam_update(grads, opt_state, pose, eff, lr=lr)
+        return new_pose, new_opt, tl
 
-    step = jax.jit(step, donate_argnums=(0, 1))
+    step = jax.jit(step, donate_argnums=(1,))
+    pose = pose0
     key = jax.random.PRNGKey(seed)
     prev = None
     t0 = time.perf_counter()
     iteration_results = {}
     for it in range(num_iters + 1):
         if save_iterations:
-            R, t = params.updated_submap_poses()
+            cur_p = params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
+            R, t = cur_p.updated_submap_poses()
             T = np.zeros((atlas.num_submaps, 4, 4), np.float32)
             T[:, 3, 3] = 1
             T[:, :3, :3] = np.asarray(R)
             T[:, :3, 3] = np.asarray(t)
             iteration_results[it] = T
         key, sub = jax.random.split(key)
-        params, opt_state, tl = step(params, opt_state, sub)
-        # Host snapshot: the device buffers get donated next iteration.
-        cur = (np.asarray(params.sub_rot_corr), np.asarray(params.sub_trans_corr))
+        pose, opt_state, tl = step(pose, opt_state, sub)
+        cur = (np.asarray(pose[0]), np.asarray(pose[1]))
         relchange = float(relative_param_change(cur, prev)) if prev is not None else np.inf
         prev = cur
         if verbose:
@@ -209,7 +215,7 @@ def generic_align_multiple_submaps(
         if relchange < rel_change_thresh:
             break
     elapsed = time.perf_counter() - t0
-    atlas.params = params
+    atlas.params = params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
     return {"cpu_time_sec": elapsed, "gpu_time_sec": elapsed,
             "iteration_results": iteration_results}
 

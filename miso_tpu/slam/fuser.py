@@ -1,0 +1,103 @@
+"""Global consistency: submap alignment + joint fusion refinement.
+
+Reference `grid_opt/slam/fuser.py`: align() runs the hierarchical
+latent alignment; fuse() jointly refines features / submap poses / KF
+poses with separate learning rates.  Per-group LRs are mask multipliers
+in one masked-Adam step (fuser.py:57-120's three param groups).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import math
+import numpy as np
+
+from miso_tpu.align.miso import align_multiple_submaps_hierarchical
+from miso_tpu.losses.common import total_loss
+from miso_tpu.losses.fusion import fusion_loss
+from miso_tpu.models.base import tree_combine_masks
+from miso_tpu.models.grid_atlas import GridAtlas, grid_atlas_mask
+from miso_tpu.train.optim import masked_adam_init, masked_adam_update
+
+
+class Fuser:
+    def __init__(self, model: GridAtlas, dataset, cfg: Dict):
+        self.atlas = model
+        self.dataset = dataset
+        self.cfg = cfg
+
+    def align(self):
+        c = self.cfg["align"]
+        return align_multiple_submaps_hierarchical(
+            self.atlas,
+            level_iters=c.get("level_iters", 100),
+            finetune_iters=c.get("finetune_iters", 100),
+            level_thresh=0,
+            lr=c.get("learning_rate", 1e-2),
+            align_loss=c.get("loss_type", "L2"),
+            stability_thresh=c.get("stability_thresh", 0.0),
+            subsample_points=c.get("subsample_points", None),
+            latent_levels=c.get("latent_levels", None),
+            skip_finetune=c.get("skip_finetune", True),
+            pose_reg_weight=c.get("pose_reg_weight", 0.0),
+            pose_thresh_m=c.get("pose_thresh_m", 10.0),
+            pose_thresh_rad=math.radians(c.get("pose_thresh_deg", 45.0)),
+            verbose=c.get("verbose", False),
+            save_iterations=c.get("save_iterations", False),
+        )
+
+    def fuse(self, feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
+             iterations=10, seed=0):
+        """Joint refinement with per-group LRs (fuser.py:57-120).
+
+        The base lr of the masked Adam is 1.0 and each group's rate is
+        its mask multiplier, reproducing the reference's param groups.
+        """
+        self.dataset.unselect_keyframes()
+        params = self.atlas.params
+        mask = grid_atlas_mask(params, features=feat_lr > 0, stability=feat_lr > 0,
+                               submap_pose=submap_pose_lr > 0,
+                               kf_pose=kf_pose_lr > 0,
+                               anchor_first_submap=False,
+                               feature_lr=feat_lr,
+                               submap_pose_lr=submap_pose_lr,
+                               kf_pose_lr=kf_pose_lr)
+        c = self.cfg["mapping"]
+        loss_kwargs = dict(
+            loss_type=c.get("loss_type", "L1"),
+            weight_sdf=c.get("weight_sdf", 1.0),
+            weight_eik=c.get("weight_eik", 0.0),
+            weight_fs=c.get("weight_fs", 0.1),
+            trunc_dist=c.get("trunc_dist", 0.15),
+            finite_diff_eps=c.get("finite_diff_eps", 1e-2),
+            grad_method=c.get("grad_method", "finitediff"),
+            eik_trunc_dist=c.get("eik_trunc_dist", 0.1),
+        )
+        opt_state = masked_adam_init(params)
+
+        def step(params, opt_state, batch, key):
+            def objective(p):
+                d = fusion_loss(p, batch, key, **loss_kwargs)
+                return total_loss(d), d
+
+            (tl, d), grads = jax.value_and_grad(objective, has_aux=True,
+                                                allow_int=True)(params)
+            bad = jnp.logical_not(jnp.isfinite(tl))
+            grads = jax.tree_util.tree_map(
+                lambda g: g if g.dtype == jax.dtypes.float0 else jnp.nan_to_num(g),
+                grads)
+            eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask)
+            new_p, new_o = masked_adam_update(grads, opt_state, params, eff, lr=1.0)
+            return new_p, new_o, tl
+
+        step = jax.jit(step, donate_argnums=(1,))
+        rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        for it in range(iterations):
+            batch = {k: jnp.asarray(v) for k, v in self.dataset.sample(rng).items()}
+            key, sub = jax.random.split(key)
+            params, opt_state, tl = step(params, opt_state, batch, sub)
+        self.atlas.params = params
+        return float(tl)

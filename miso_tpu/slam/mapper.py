@@ -1,0 +1,62 @@
+"""Mapping on the current submap GridNet (reference `grid_opt/slam/mapper.py`).
+
+Features + stability unlock, poses lock, coarse-to-fine GridTrainer with
+the MISO mapping loss (mapper.py:65-98).  All phase switching is mask
+swaps on one compiled step.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from miso_tpu.losses.miso import make_loss, mapping_loss
+from miso_tpu.models.grid_net import GridNet, grid_net_mask
+from miso_tpu.train.trainer import GridTrainer
+
+
+class Mapper:
+    def __init__(self, model: GridNet, dataset, cfg: Dict):
+        self.grid = model
+        self.dataset = dataset
+        self.cfg = cfg
+        c = cfg["mapping"]
+        self.lr = c.get("learning_rate", 1e-3)
+        self.verbose = c.get("verbose", False)
+        self.disable = bool(c.get("disable", False))
+        self.loss_fn = make_loss(
+            mapping_loss,
+            loss_type=c.get("loss_type", "L1"),
+            weight_sdf=c.get("weight_sdf", 1.0),
+            weight_eik=c.get("weight_eik", 0.0),
+            weight_fs=c.get("weight_fs", 0.0),
+            trunc_dist=c.get("trunc_dist", 0.15),
+            finite_diff_eps=c.get("finite_diff_eps", 1e-2),
+            grad_method=c.get("grad_method", "finitediff"),
+            eik_trunc_dist=c.get("eik_trunc_dist", 0.1),
+        )
+
+    def mapping(self, mapping_kfs: List[int], iterations=10, level_iterations=5):
+        if self.disable:
+            return
+        self.dataset.select_keyframes(mapping_kfs)
+        cfg_train = dict(self.cfg.get("train", {}))
+        cfg_train.update({
+            "epochs": iterations,
+            "max_epochs_in_level": level_iterations,
+            "learning_rate": self.lr,
+            "verbose": self.verbose,
+            "optimizer": "adam",
+            "grid_training_mode": cfg_train.get("grid_training_mode", "coordinate+joint"),
+            "eval_every": -1,
+            "ckpt_every": -1,
+        })
+
+        def mask_for_level(model, level):
+            # Features+stability at the active level; poses locked
+            # (mapper.py:72-74); decoder per decoder_fixed.
+            return grid_net_mask(model, level=level, pose=False)
+
+        trainer = GridTrainer(cfg_train, self.grid, self.loss_fn, self.dataset,
+                              mask_for_level=mask_for_level)
+        self.grid = trainer.train()

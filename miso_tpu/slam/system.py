@@ -1,0 +1,163 @@
+"""SLAM orchestrator (reference `grid_opt/slam/system.py`).
+
+Host-side per-frame control flow (submap spawning, odometry
+propagation, replay-window selection) around jitted tracking / mapping
+bursts.  The per-frame loop:
+
+  while frames remain:
+    spawn new submap if KF count or FOV-overlap triggers (system.py:118-123)
+    propagate odometry to initialize the next KF       (system.py:98-116)
+    tracker.track(head_kf)                             (LM or Adam)
+    mapper.mapping(replay window + head)               (system.py:187-196)
+    visualizer artifacts
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from miso_tpu.datasets.base import SubmapDataset
+from miso_tpu.models.grid_atlas import GridAtlas
+from miso_tpu.ops import se3
+from miso_tpu.slam.mapper import Mapper
+from miso_tpu.slam.tracker import Tracker
+from miso_tpu.slam.visualizer import Visualizer
+from miso_tpu.utils.sdf import save_mesh
+
+
+class System:
+    def __init__(self, model: GridAtlas, dataset_track: SubmapDataset,
+                 dataset_map: SubmapDataset, cfg: Dict,
+                 R_world_origin=None, t_world_origin=None, verbose=True):
+        assert model.num_submaps == 0, "Input grid atlas is not empty."
+        self.model = model
+        self.cfg = cfg
+        self.verbose = verbose
+        self.dataset_track = dataset_track
+        self.dataset_map = dataset_map
+        self.max_replay_frames = cfg["mapping"].get("max_replay_frames", 10)
+        self.max_replay_freq = cfg["mapping"].get("max_replay_freq", 10)
+        self.init_odom = cfg["system"].get("init_odom", "external")
+        self.log_dir = cfg["system"].get("log_dir", "./results/default")
+        self.initialize_system(R_world_origin, t_world_origin)
+
+    # -- helpers -----------------------------------------------------------
+    def current_kf_id(self) -> int:
+        return self.model.curr_kf_id
+
+    def _sync_submap_from_tracker_mapper(self):
+        """Write the (possibly trained) current submap back to the atlas."""
+        s = self.model.curr_submap_id
+        self.model.set_submap(s, self.mapper.grid)
+
+    def _fresh_tracker_mapper(self):
+        s = self.model.curr_submap_id
+        grid = self.model.get_submap(s)
+        self.tracker = Tracker(grid, self.dataset_track, self.cfg)
+        self.mapper = Mapper(grid, self.dataset_map, self.cfg)
+
+    def _push_grid(self):
+        """Keep tracker and mapper on the same grid object."""
+        self.mapper.grid = self.tracker.grid
+
+    # -- lifecycle (system.py:58-96) ---------------------------------------
+    def initialize_system(self, Rws=None, tws=None):
+        Rws = np.eye(3, dtype=np.float32) if Rws is None else np.asarray(Rws)
+        tws = np.zeros(3, np.float32) if tws is None else np.asarray(tws).reshape(3)
+        local_bound = np.asarray(self.cfg["system"]["submap_local_bound"], np.float32)
+        self.model.add_submap(local_bound, Rws, tws,
+                              num_poses=self.cfg["system"]["submap_size"])
+        self.model.add_kf()  # anchor at identity in submap
+        self._fresh_tracker_mapper()
+        self.mapper.mapping([self.current_kf_id()], iterations=50, level_iterations=20)
+        self.tracker.grid = self.mapper.grid
+        self._sync_submap_from_tracker_mapper()
+        self.visualizer = Visualizer(self.model, cfg=self.cfg)
+        self.first_frame_in_submap = 0
+
+    def initialize_next_kf_in_submap(self):
+        """Odometry propagation inside the current submap (system.py:98-116)."""
+        dst = self.current_kf_id() + 1
+        src = dst - 1
+        s = self.model.curr_submap_id
+        grid = self.tracker.grid
+        R_src, t_src = grid.updated_kf_pose(src - grid.anchor_kf)
+        T_ss = np.asarray(se3.pose_matrix(R_src, t_src))
+        if self.init_odom == "external":
+            T_sd = np.asarray(self.dataset_track.get_odometry_at_pose(src))
+        elif self.init_odom == "static":
+            T_sd = np.eye(4, dtype=np.float32)
+        else:
+            raise ValueError(f"Unknown odometry type: {self.init_odom}")
+        T = T_ss @ T_sd
+        self.model.add_kf(T[:3, :3], T[:3, 3])
+        # Mirror into the live grid object.
+        new_grid = self.tracker.grid.set_initial_kf_pose(
+            dst - self.model.anchor_kf_for_submap(s),
+            jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3]))
+        self.tracker.grid = new_grid
+        self.mapper.grid = new_grid
+
+    def should_create_new_submap(self) -> bool:
+        s = self.model.curr_submap_id
+        if self.model.num_keyframes_in_submap(s) >= self.cfg["system"]["submap_size"]:
+            return True
+        if self.tracker.latest_fov_overlap < self.cfg["system"]["submap_fov_thresh"]:
+            return True
+        return False
+
+    def initialize_next_submap(self):
+        """New submap anchored at the odometry-propagated world pose
+        (system.py:125-163)."""
+        self._sync_submap_from_tracker_mapper()
+        dst = self.current_kf_id() + 1
+        src = dst - 1
+        R_src, t_src = self.model.params.updated_kf_pose_in_world(src)
+        T_ws = np.asarray(se3.pose_matrix(R_src, t_src))
+        T_sd = np.asarray(self.dataset_track.get_odometry_at_pose(src))
+        T_wd = T_ws @ T_sd
+        local_bound = np.asarray(self.cfg["system"]["submap_local_bound"], np.float32)
+        self.model.add_submap(local_bound, T_wd[:3, :3], T_wd[:3, 3],
+                              num_poses=self.cfg["system"]["submap_size"])
+        kf_id = self.model.add_kf()  # identity in new submap
+        assert kf_id == dst
+        self._fresh_tracker_mapper()
+        self.mapper.mapping([self.current_kf_id()], iterations=50, level_iterations=20)
+        self.tracker.grid = self.mapper.grid
+        self._sync_submap_from_tracker_mapper()
+
+    # -- main loop (system.py:166-202) ---------------------------------------
+    def run(self):
+        assert self.current_kf_id() == 0, "Call initialize_system() first."
+        while self.model.num_keyframes < self.dataset_map.num_kfs:
+            if self.should_create_new_submap():
+                if self.cfg["system"].get("save_submap_mesh", False):
+                    s = self.model.curr_submap_id
+                    grid = self.tracker.grid
+                    save_mesh(grid, grid.bound,
+                              os.path.join(self.log_dir, f"submap_{s}.ply"),
+                              resolution=256)
+                self.initialize_next_submap()
+                self.first_frame_in_submap = self.current_kf_id()
+                continue
+            self.initialize_next_kf_in_submap()
+            head_kf = self.current_kf_id()
+            self.tracker.track(optimize_kf=head_kf)
+            self._push_grid()
+            # Replay window (system.py:190-196).
+            replay_freq = max((head_kf - self.first_frame_in_submap) // self.max_replay_frames,
+                              self.max_replay_freq)
+            mapping_kfs = list(range(self.first_frame_in_submap, head_kf, replay_freq))
+            mapping_kfs.append(head_kf)
+            self.mapper.mapping(mapping_kfs, iterations=15, level_iterations=5)
+            self.tracker.grid = self.mapper.grid
+            self._sync_submap_from_tracker_mapper()
+            # Visualization artifacts.
+            pts = self.dataset_track.sampled_points_at_kf(head_kf)
+            self.visualizer.set_current_frame_points(np.asarray(pts))
+            self.visualizer.update_geometries(stop_frame=head_kf + 1)
+            self.visualizer.update_view()
+        self.visualizer.quit()

@@ -1,0 +1,175 @@
+"""Frame-to-model tracking on the current submap GridNet.
+
+Re-design of `grid_opt/slam/tracker.py`.  Two solvers:
+  * 'lm'   -- hand-written Levenberg-Marquardt with Geman-McClure IRLS
+              (tracker.py:125-212); the ENTIRE step (SDF query, autodiff
+              spatial gradient, (N, 6) Jacobian, weighted 6x6 normal
+              equations, pose update) is one jitted function.  The
+              reference issues dozens of separate CUDA kernels per step.
+  * 'adam' -- window tracking via the masked trainer, features locked,
+              only the target KF pose row trainable (tracker.py:81-110).
+
+Boolean prefilters (|gt| < trunc, tracker.py:159-167) become zero
+weights in the normal equations -- identical solution, static shapes.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miso_tpu.losses.miso import make_loss, tracking_loss
+from miso_tpu.models.grid_net import GridNet, grid_net_mask
+from miso_tpu.ops import se3
+from miso_tpu.ops.diff import gradient3d
+from miso_tpu.train.trainer import Trainer
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("loss_type",))
+def lm_step(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
+            lm_lambda, gm_scale, trunc_dist_or_inf, loss_type="GM"):
+    """One LM registration step (reference tracker.py:148-212).
+
+    Returns (new_grid, info dict of scalars).
+    """
+    # Row weights replace the reference's boolean downselect.
+    w_rows = gt_valid * (jnp.abs(gt_sdf) < trunc_dist_or_inf).astype(gt_sdf.dtype)
+    Rwf, twf = jax.lax.stop_gradient(grid.updated_kf_pose(kf_local))
+    coords_world = se3.transform_points_to(coords_frame, Rwf, twf)
+    mask_bnd = se3.coords_in_bound(coords_world, grid.bound)
+    denom = jnp.maximum(jnp.sum(w_rows), 1.0)
+    fov_overlap = jnp.sum(mask_bnd * w_rows) / denom
+    # SDF spatial gradient (autodiff; tracker.py:177-179).
+    grad_world = jax.lax.stop_gradient(gradient3d(coords_world, grid, "autograd"))
+    # Jacobian J = [(hat(R x) . grad) R , grad]  (N, 6)  (tracker.py:181-185).
+    Rxi = se3.transform_points_to(coords_frame, Rwf, jnp.zeros(3, coords_frame.dtype))
+    cT = jnp.einsum("nij,nj->ni", se3.hat(Rxi), grad_world, precision=_HI)
+    cTR = jnp.matmul(cT, Rwf, precision=_HI)
+    J = jnp.concatenate([cTR, grad_world], axis=1)
+    # Residual + IRLS weights (tracker.py:139-146,186-190).
+    r = jax.lax.stop_gradient(grid(coords_world)) - gt_sdf
+    if loss_type == "GM":
+        w = gm_scale / (gm_scale + r**2) ** 2
+    else:  # L2
+        w = jnp.ones_like(r)
+    w = w * w_rows
+    # Weighted 6x6 normal equations (tracker.py:192-196).
+    WJ = w * J
+    H = jnp.matmul(J.T, WJ, precision=_HI) + lm_lambda * jnp.eye(6, dtype=J.dtype)
+    g = jnp.matmul(J.T, w * r, precision=_HI)
+    delta = jnp.linalg.solve(H, -g).reshape(6)
+    d_rot, d_t = delta[:3], delta[3:]
+    new_grid = grid.replace(
+        rot_corr=grid.rot_corr.at[kf_local].add(d_rot),
+        trans_corr=grid.trans_corr.at[kf_local].add(d_t),
+    )
+    info = {
+        "delta_R_rad": jnp.linalg.norm(d_rot),
+        "delta_t_norm": jnp.linalg.norm(d_t),
+        "grad_norm": jnp.linalg.norm(g),
+        "fov_overlap": fov_overlap,
+    }
+    return new_grid, info
+
+
+class Tracker:
+    """Reference tracker.py:15-213 API on a GridNet pytree."""
+
+    def __init__(self, model: GridNet, dataset, cfg: Dict):
+        self.grid = model
+        self.dataset = dataset
+        self.cfg = cfg
+        c = cfg["tracking"]
+        self.lr = c.get("learning_rate", 1e-3)
+        self.verbose = c.get("verbose", False)
+        self.gm_scale_sdf = c.get("gm_scale_sdf", 1.0)
+        self.lm_lambda = c.get("lm_lambda", 1e-4)
+        self.lm_max_iter = c.get("lm_max_iter", 10)
+        self.lm_tol_deg = c.get("lm_tol_deg", 0.01)
+        self.lm_tol_m = c.get("lm_tol_m", 0.001)
+        self.loss_type = c.get("loss_type", "GM")
+        self.trunc_dist = c.get("trunc_dist", None)
+        self.solver = c.get("solver", "lm")
+        self.disable = bool(c.get("disable", False))
+        self.latest_fov_overlap = 1.0
+        self._rng = np.random.default_rng(c.get("seed", 0))
+
+    # -- odometry propagation (tracker.py:65-79) ---------------------------
+    def initialize_window(self, head_kf: int, tail_kf: int):
+        for dst in range(head_kf, tail_kf):
+            src = dst - 1
+            R_src, t_src = self.grid.updated_kf_pose(src - self.grid.anchor_kf)
+            T_ws = np.asarray(se3.pose_matrix(R_src, t_src))
+            T_sd = np.asarray(self.dataset.get_odometry_at_pose(src))
+            T_wd = T_ws @ T_sd
+            self.grid = self.grid.set_initial_kf_pose(
+                dst - self.grid.anchor_kf, jnp.asarray(T_wd[:3, :3]),
+                jnp.asarray(T_wd[:3, 3]))
+
+    # -- solvers -----------------------------------------------------------
+    def track(self, optimize_kf: int):
+        if self.disable:
+            return
+        if self.solver == "adam":
+            self.track_window([optimize_kf], iterations=15)
+        elif self.solver == "lm":
+            self.track_lm(optimize_kf)
+        else:
+            raise ValueError(f"Unknown solver: {self.solver}")
+
+    def track_lm(self, optimize_kf: int):
+        self.dataset.select_keyframes([optimize_kf])
+        kf_local = optimize_kf - self.grid.anchor_kf
+        trunc = np.float32(self.trunc_dist) if self.trunc_dist is not None \
+            else np.float32(np.inf)
+        info = None
+        for it in range(self.lm_max_iter):
+            batch = self.dataset.sample(self._rng)
+            self.grid, info = lm_step(
+                self.grid,
+                jnp.asarray(batch["coords_frame"]),
+                jnp.asarray(batch["sdf"]),
+                jnp.asarray(batch["sdf_valid"]),
+                kf_local,
+                jnp.float32(self.lm_lambda),
+                jnp.float32(self.gm_scale_sdf),
+                trunc,
+                loss_type=self.loss_type if self.loss_type in ("GM", "L2") else "L2",
+            )
+            d_deg = math.degrees(float(info["delta_R_rad"]))
+            d_m = float(info["delta_t_norm"])
+            if self.verbose:
+                print(f"LM step {it}: delta_deg={d_deg:.1e} delta_m={d_m:.1e}")
+            if d_deg < self.lm_tol_deg and d_m < self.lm_tol_m:
+                break
+        self.latest_fov_overlap = float(info["fov_overlap"]) if info else 1.0
+
+    def track_window(self, optimize_kfs: List[int], iterations=10):
+        """Adam window tracking: features locked, only the listed KF pose
+        rows trainable (tracker.py:81-110)."""
+        self.dataset.select_keyframes(optimize_kfs)
+        rows = np.zeros((self.grid.num_poses,), np.float32)
+        for kf in optimize_kfs:
+            rows[kf - self.grid.anchor_kf] = 1.0
+        mask = grid_net_mask(self.grid, features=False, stability=False,
+                             decoder=False, pose=True,
+                             pose_rows=jnp.asarray(rows))
+        loss_fn = make_loss(tracking_loss, weight_sdf=1.0,
+                            loss_type=self.loss_type, trunc_dist=self.trunc_dist,
+                            gm_scale_sdf=self.gm_scale_sdf)
+        cfg_train = {"verbose": self.verbose, "optimizer": "adam",
+                     "learning_rate": self.lr, "epochs": iterations}
+        trainer = Trainer(cfg_train, self.grid, loss_fn, self.dataset, mask=mask)
+        self.grid = trainer.train()
+        # FOV overlap for submap spawning decisions.
+        batch = self.dataset.sample(self._rng)
+        kf = optimize_kfs[-1]
+        R, t = self.grid.updated_kf_pose(kf - self.grid.anchor_kf)
+        pts = se3.transform_points_to(jnp.asarray(batch["coords_frame"]), R, t)
+        self.latest_fov_overlap = float(jnp.mean(se3.coords_in_bound(pts, self.grid.bound)))

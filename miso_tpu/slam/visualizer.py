@@ -1,0 +1,62 @@
+"""Headless visualizer: writes artifacts instead of an open3d window.
+
+The reference's Visualizer (`grid_opt/slam/visualizer.py`) renders a
+live open3d view (trajectory lineset, current frame point cloud,
+throttled global mesh, submap boxes).  This environment is headless, so
+the same information is persisted to the log directory: trajectory
+KITTI file, frame point clouds (PLY), periodic global meshes.  The API
+mirrors the reference so System code is interchangeable.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from miso_tpu.models.grid_atlas import GridAtlas
+from miso_tpu.utils.sdf import save_mesh, write_ply
+
+
+class Visualizer:
+    def __init__(self, model: GridAtlas, cfg: Dict):
+        self.atlas = model
+        c = cfg.get("visualizer", {})
+        self.enable = bool(c.get("enable", False))
+        self.mesh_vis_freq = int(c.get("mesh_vis_freq", 10))
+        self.mesh_resolution = int(c.get("mesh_resolution", 128))
+        self.show_mesh = bool(c.get("show_mesh", True))
+        self.log_dir = cfg.get("system", {}).get("log_dir", "./results/default")
+        self._frame_points: Optional[np.ndarray] = None
+        self._count = 0
+        if self.enable:
+            os.makedirs(self.log_dir, exist_ok=True)
+
+    def set_current_frame_points(self, points: np.ndarray):
+        self._frame_points = np.asarray(points)
+
+    def update_geometries(self, stop_frame: int):
+        if not self.enable:
+            return
+        self._count += 1
+        # Trajectory so far (world KF positions).
+        R, t = self.atlas.params.updated_kf_poses_in_world()
+        traj = np.asarray(t)[:stop_frame]
+        np.savetxt(os.path.join(self.log_dir, "trajectory_live.txt"), traj)
+        if self._frame_points is not None and len(self._frame_points):
+            write_ply(os.path.join(self.log_dir, "current_frame.ply"),
+                      self._frame_points,
+                      np.zeros((0, 3), np.int32))
+        if self.show_mesh and self._count % self.mesh_vis_freq == 0:
+            try:
+                save_mesh(self.atlas.params, self.atlas.global_bound(),
+                          os.path.join(self.log_dir, f"mesh_frame{stop_frame:05d}.ply"),
+                          resolution=self.mesh_resolution)
+            except Exception as e:  # meshing must never kill SLAM
+                print(f"[visualizer] mesh export failed: {e}")
+
+    def update_view(self):
+        pass
+
+    def quit(self):
+        pass

@@ -59,7 +59,11 @@ def make_train_step(loss_fn: Callable, optimizer: str = "adam"):
             raise ValueError(f"Invalid optimizer: {optimizer}")
         return new_model, new_opt, tl, loss_dict
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    # Donate only the optimizer state: model buffers may be shared with
+    # other views (e.g. a GridNet extracted from a GridAtlas shares the
+    # decoder / ignore_level buffers; donating them would invalidate the
+    # atlas).  Optimizer state is never shared.
+    return jax.jit(step, donate_argnums=(1,))
 
 
 class Trainer:

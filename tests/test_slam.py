@@ -1,0 +1,159 @@
+"""SLAM runtime tests on the synthetic sequence backend.
+
+Mirrors the reference's synthetic-world validation (SURVEY.md section 4).
+Small scenes/short sequences so the CPU suite stays fast:
+  * LM tracker converges a perturbed KF pose on a trained grid,
+  * the full System runs tracking+mapping over a short orbit and the
+    resulting trajectory stays close to GT.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miso_tpu.datasets.sequence import SdfSequence, orbit_trajectory
+from miso_tpu.datasets.shapes import icosphere, room_scene
+from miso_tpu.losses.miso import make_loss, mapping_loss
+from miso_tpu.models.grid_atlas import GridAtlas
+from miso_tpu.models.grid_net import create_grid_net, grid_net_mask
+from miso_tpu.native import TriangleMesh
+from miso_tpu.ops import se3
+from miso_tpu.slam.system import System
+from miso_tpu.slam.tracker import Tracker
+from miso_tpu.train.trainer import GridTrainer
+
+
+@pytest.fixture(scope="module")
+def seq():
+    verts, tris = room_scene(4.0, seed=0)
+    mesh = TriangleMesh(verts, tris)
+    R, t = orbit_trajectory(center=[0, 0, 0], radius=1.4, height=1.2,
+                            num_frames=12, look_at=[0, 0, -0.5])
+    return SdfSequence(mesh, R, t, frame_samples=2**11, frame_batchsize=2048,
+                       trunc_dist=0.3, near_surface_std=0.1, seed=1)
+
+
+@pytest.fixture(scope="module")
+def pretrained_decoder_path(tmp_path_factory):
+    """Pretrain the shared MLP decoder on the scene (the SLAM configs
+    assume a pretrained fixed decoder, scannet.yaml:17)."""
+    from miso_tpu.datasets.sdf_3d import Sdf3D
+    from miso_tpu.losses.sdf import tsdf_loss_3d
+    from miso_tpu.train.checkpoint import save_pytree
+
+    verts, tris = room_scene(4.0, seed=0)
+    mesh = TriangleMesh(verts, tris)
+    ds = Sdf3D(mesh, batch_size=2**13, total_samples=2**16, trunc_dist=0.3)
+    cfg = dict(MODEL_CFG)
+    cfg["decoder"] = dict(MODEL_CFG["decoder"], fix=False, pretrained_model=None)
+    model = create_grid_net(jax.random.PRNGKey(7), cfg)
+    loss_fn = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                        eik_weight=0.0, trunc_dist=0.3)
+    tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3, "epochs": 200,
+                      "max_epochs_in_level": 60,
+                      "grid_training_mode": "coordinate+joint"},
+                     model, loss_fn, ds)
+    model = tr.train()
+    path = str(tmp_path_factory.mktemp("dec") / "decoder.npz")
+    save_pytree(path, model.decoder)
+    return path
+
+
+CFG = {
+    "device": "tpu",
+    "model": None,
+    "tracking": {"solver": "lm", "learning_rate": 1e-3, "loss_type": "GM",
+                 "trunc_dist": None, "gm_scale_sdf": 0.1, "lm_lambda": 1e-4,
+                 "lm_max_iter": 12, "lm_tol_deg": 0.01, "lm_tol_m": 0.001,
+                 "verbose": False},
+    "mapping": {"learning_rate": 3e-3, "loss_type": "L1", "weight_sdf": 1.0,
+                "weight_eik": 0.0, "weight_fs": 0.2, "trunc_dist": 0.3,
+                "finite_diff_eps": 0.05, "grad_method": "finitediff",
+                "eik_trunc_dist": 0.3, "verbose": False,
+                "max_replay_frames": 5, "max_replay_freq": 2},
+    "system": {"init_odom": "external", "submap_size": 100,
+               "submap_local_bound": [[-3.0, 3.0], [-3.0, 3.0], [-2.0, 2.0]],
+               "submap_fov_thresh": 0.0, "save_submap_mesh": False,
+               "log_dir": "/tmp/miso_slam_test"},
+    "visualizer": {"enable": False},
+    "train": {"grid_training_mode": "coordinate+joint", "relchange_tol": 0.0},
+    "align": {"level_iters": 30, "finetune_iters": 0, "learning_rate": 1e-2,
+              "loss_type": "L2", "stability_thresh": 0.0,
+              "subsample_points": None, "latent_levels": [0, 1],
+              "skip_finetune": True, "pose_reg_weight": 0.0},
+}
+
+MODEL_CFG = {
+    "spatial_dim": 3,
+    "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
+             "bound": [[-3.0, 3.0], [-3.0, 3.0], [-2.0, 2.0]],
+             "base_cell_size": 1.0, "per_level_scale": 4.0, "n_levels": 2},
+    "decoder": {"type": "mlp", "hidden_dim": 32, "hidden_layers": 1,
+                "out_dim": 1, "pos_invariant": True, "fix": False,
+                "pretrained_model": None},
+    "pose": {"optimize": True, "num_poses": 100},
+}
+
+
+def train_grid_on_sequence(seq, kfs, epochs=120):
+    model = create_grid_net(jax.random.PRNGKey(0), MODEL_CFG)
+    for kf in kfs:
+        R, t = seq.true_kf_pose_in_world(kf)
+        model = model.set_initial_kf_pose(kf, jnp.asarray(R), jnp.asarray(t))
+    seq.select_keyframes(kfs)
+    loss_fn = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0,
+                        weight_eik=0.0, weight_fs=0.2, trunc_dist=0.3)
+    cfg = {"optimizer": "adam", "learning_rate": 5e-3, "epochs": epochs,
+           "max_epochs_in_level": 40, "grid_training_mode": "coordinate+joint"}
+
+    def mask_for_level(m, level):
+        return grid_net_mask(m, level=level, pose=False)
+
+    tr = GridTrainer(cfg, model, loss_fn, seq, mask_for_level=mask_for_level)
+    return tr.train()
+
+
+def test_lm_tracker_converges(seq):
+    kfs = list(range(8))
+    model = train_grid_on_sequence(seq, kfs)
+    # Perturb KF 5's pose and let LM recover it.
+    kf = 5
+    R_gt, t_gt = seq.true_kf_pose_in_world(kf)
+    dR = np.asarray(se3.so3_exp(jnp.asarray([0.0, 0.0, 0.03])))
+    model = model.set_initial_kf_pose(kf, jnp.asarray(R_gt @ dR),
+                                      jnp.asarray(t_gt + np.array([0.05, -0.04, 0.02],
+                                                                  np.float32)))
+    tracker = Tracker(model, seq, CFG)
+    R0, t0 = tracker.grid.updated_kf_pose(kf)
+    err_t0 = float(jnp.linalg.norm(t0 - jnp.asarray(t_gt)))
+    tracker.track_lm(kf)
+    R1, t1 = tracker.grid.updated_kf_pose(kf)
+    err_t1 = float(jnp.linalg.norm(t1 - jnp.asarray(t_gt)))
+    err_r1 = float(se3.rotation_rmse_deg(R1[None], jnp.asarray(R_gt)[None]))
+    assert err_t1 < 0.5 * err_t0, (err_t0, err_t1)
+    assert err_r1 < np.degrees(0.03), err_r1
+    assert 0.5 < tracker.latest_fov_overlap <= 1.0
+
+
+def test_system_runs_full_slam(seq, pretrained_decoder_path):
+    model_cfg = dict(MODEL_CFG)
+    model_cfg["decoder"] = dict(MODEL_CFG["decoder"], fix=True,
+                                pretrained_model=pretrained_decoder_path)
+    atlas = GridAtlas(model_cfg, max_kfs_per_submap=CFG["system"]["submap_size"])
+    R0, t0 = seq.true_kf_pose_in_world(0)
+    system = System(atlas, seq, seq, CFG, R_world_origin=R0, t_world_origin=t0)
+    system.run()
+    assert atlas.num_keyframes == seq.num_kfs
+    # Trajectory error vs GT (odometry here is noise-free, so mostly a
+    # pipeline smoke + consistency check).
+    R, t = atlas.params.updated_kf_poses_in_world()
+    t_est = np.asarray(t)[: seq.num_kfs]
+    t_gt = np.stack([seq.true_kf_pose_in_world(k)[1] for k in range(seq.num_kfs)])
+    ate = np.sqrt(((t_est - t_gt) ** 2).sum(-1).mean())
+    assert ate < 0.2, f"ATE {ate:.3f} m"
+    # The map decodes a sensible SDF at a frame's surface points.
+    pts_frame = seq.sampled_points_at_kf(3)[:256]
+    R3, t3 = seq.true_kf_pose_in_world(3)
+    pts_world = pts_frame @ np.asarray(R3).T + np.asarray(t3)
+    sdf = np.asarray(atlas.params(jnp.asarray(pts_world)))
+    assert np.abs(sdf).mean() < 0.15, np.abs(sdf).mean()
