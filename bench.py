@@ -1,0 +1,91 @@
+"""North-star benchmark: fused SDF query+backward throughput per chip.
+
+Workload mirrors the reference's ScanNet mapping configuration
+(configs/rgbd/scannet.yaml: 1e6 points/step, 2-level grid fdim=4,
+cells 0.5 m / 0.1 m over a ~10x9x3 m bound, 64x1 MLP decoder) running
+the FULL mapping optimization step: multi-level trilinear interpolation
++ decode, L1 SDF + free-space losses, gradients wrt grids+decoder, and
+the masked-Adam update -- i.e. what the reference spends its time on in
+`grid_opt/trainer.py:196-219`.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+"published": {}) and no CUDA GPU exists in this environment, so the
+denominator is an ESTIMATE of the torch/CUDA reference's step
+throughput on its target GPU: ~25 ms / 1e6-point mapping step
+(grid_sample fwd+bwd x2 levels + MLP + Adam on an RTX-class card)
+= 4e7 points/s.
+"""
+import sys, os, json, time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_ESTIMATE_PTS_PER_SEC = 4.0e7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from miso_tpu.losses.miso import make_loss, mapping_loss
+    from miso_tpu.models.grid_net import create_grid_net, grid_net_mask
+    from miso_tpu.train.optim import masked_adam_init
+    from miso_tpu.train.trainer import make_train_step
+
+    N = 1_000_000
+    cfg = {
+        "spatial_dim": 3,
+        "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
+                 "bound": [[-0.02, 10.38], [-0.01, 8.74], [-0.01, 3.03]],
+                 "base_cell_size": 0.5, "per_level_scale": 5.0, "n_levels": 2},
+        "decoder": {"type": "mlp", "hidden_dim": 64, "hidden_layers": 1,
+                    "out_dim": 1, "pos_invariant": True, "fix": False,
+                    "pretrained_model": None},
+        "pose": {"optimize": False, "num_poses": 372},
+    }
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "coords_frame": rng.uniform([0, 0, 0], [10.3, 8.7, 3.0],
+                                    (N, 3)).astype(np.float32),
+        "sample_frame_ids": rng.integers(0, 372, (N,)).astype(np.int32),
+        "weights": np.ones((N, 1), np.float32),
+        "sdf": rng.uniform(-0.15, 0.15, (N, 1)).astype(np.float32),
+        "sdf_valid": (rng.uniform(size=(N, 1)) < 0.7).astype(np.float32),
+        "sdf_signs": (rng.uniform(size=(N, 1)) < 0.2).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss_fn = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0,
+                        weight_eik=0.0, weight_fs=0.1, trunc_dist=0.15)
+    step = make_train_step(loss_fn, "adam")
+    mask = grid_net_mask(model, level=model.num_levels, pose=False)
+    opt_state = masked_adam_init(model)
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-3)
+
+    # Warmup/compile.
+    model_, opt_, tl, _ = step(model, opt_state, batch, key, mask, lr)
+    tl.block_until_ready()
+    model, opt_state = model_, opt_
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model, opt_state, tl, _ = step(model, opt_state, batch, key, mask, lr)
+    tl.block_until_ready()
+    dt = time.perf_counter() - t0
+    pts_per_sec = N * iters / dt
+
+    print(json.dumps({
+        "metric": "sdf_query_backward_train_step_points_per_sec_per_chip",
+        "value": pts_per_sec,
+        "unit": "points/s",
+        "vs_baseline": pts_per_sec / REFERENCE_ESTIMATE_PTS_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()
