@@ -23,9 +23,14 @@ from miso_tpu.datasets.base import SubmapDataset
 from miso_tpu.datasets.sdf_3d import MeshLike, as_mesh
 
 
-def orbit_trajectory(center, radius, height, num_frames, look_at=None):
+def orbit_trajectory(center, radius, height, num_frames, look_at=None,
+                     convention="opengl"):
     """Camera poses orbiting ``center`` looking inward.  Returns
-    (N, 3, 3) rotations + (N, 3) positions, camera looks along -z."""
+    (N, 3, 3) rotations + (N, 3) positions.
+
+    convention='opengl': camera looks along -z, y up (the SdfSequence /
+    PosedSdf3D simulators).  'opencv': +z forward, y down (the RGB-D
+    pinhole pipeline, utils/sample.ray_dirs_C)."""
     look_at = np.asarray(center, np.float64) if look_at is None else np.asarray(look_at)
     Rs, ts = [], []
     for i in range(num_frames):
@@ -37,8 +42,12 @@ def orbit_trajectory(center, radius, height, num_frames, look_at=None):
         right = np.cross(fwd, upw)
         right /= np.linalg.norm(right) + 1e-12
         up = np.cross(right, fwd)
-        # Camera: x right, y up, looks along -z.
-        R = np.stack([right, up, -fwd], axis=1)
+        if convention == "opengl":
+            # x right, y up, looks along -z.
+            R = np.stack([right, up, -fwd], axis=1)
+        else:
+            # OpenCV: x right, y down, +z forward.
+            R = np.stack([right, -up, fwd], axis=1)
         Rs.append(R)
         ts.append(pos)
     return np.asarray(Rs, np.float32), np.asarray(ts, np.float32)
