@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Full LiDAR SLAM (reference `demo/full_slam_newer_college.py`).
+
+Two dataset instances over the same scans: a sparse surface-only one for
+LM tracking (voxel 0.6 m) and a dense augmented one for mapping (voxel
+0.08 m + near-surface/free-space samples)
+(full_slam_newer_college.py:77-92).  Runs the System, writes the final
+512^3 mesh and the KITTI trajectory.
+
+--synthetic simulates a LiDAR-like sequence on a procedural scene so the
+pipeline runs without the Newer College download.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+
+
+def pretrain_decoder_synthetic(mesh_gt, cfg_model, trunc_dist, epochs=200):
+    """Quick decoder pretrain on the scene (the SLAM configs assume a
+    pretrained fixed decoder, scannet.yaml:17)."""
+    import jax
+
+    from miso_tpu.datasets.sdf_3d import Sdf3D
+    from miso_tpu.losses.miso import make_loss
+    from miso_tpu.losses.sdf import tsdf_loss_3d
+    from miso_tpu.models.grid_net import create_grid_net
+    from miso_tpu.train.trainer import GridTrainer
+
+    ds = Sdf3D(mesh_gt, batch_size=2**13, total_samples=2**16,
+               trunc_dist=trunc_dist)
+    cfg = {k: (dict(v) if isinstance(v, dict) else v) for k, v in cfg_model.items()}
+    cfg["decoder"] = dict(cfg_model["decoder"], fix=False, pretrained_model=None)
+    cfg["pose"] = {"optimize": False, "num_poses": 1}
+    model = create_grid_net(jax.random.PRNGKey(7), cfg)
+    loss_fn = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                        eik_weight=0.0, trunc_dist=trunc_dist)
+    tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
+                      "epochs": epochs, "max_epochs_in_level": epochs // 3,
+                      "grid_training_mode": "coordinate+joint"},
+                     model, loss_fn, ds)
+    return tr.train().decoder
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/lidar/ncd_quad.yaml")
+    p.add_argument("--save_dir", default="./results/full_slam_ncd")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--num_frames", type=int, default=30)
+    p.add_argument("--mesh_resolution", type=int, default=512)
+    args = p.parse_args()
+
+    from miso_tpu.config import load_config
+    from miso_tpu.datasets.lidar import PosedSdf3DLidar, write_kitti_format_poses
+    from miso_tpu.models.grid_atlas import GridAtlas
+    from miso_tpu.slam.system import System
+    from miso_tpu.utils.eval import trajectory_error
+    from miso_tpu.utils.sdf import save_mesh
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    cfg = load_config(args.config)
+    cfg["system"]["log_dir"] = args.save_dir
+
+    if args.synthetic:
+        from miso_tpu.datasets.sequence import SdfSequence, orbit_trajectory
+        from miso_tpu.datasets.shapes import room_scene
+        from miso_tpu.native import TriangleMesh
+
+        verts, tris = room_scene(8.0, seed=0)
+        mesh_gt = TriangleMesh(verts, tris)
+        R, t = orbit_trajectory([0, 0, 0], 2.5, 1.6, args.num_frames,
+                                look_at=[0, 0, -0.5])
+        # Sparse surface-only tracking dataset; dense augmented mapping
+        # dataset (full_slam_newer_college.py:77-92).
+        ds_track = SdfSequence(mesh_gt, R, t, frame_samples=2**12,
+                               frame_batchsize=2048, trunc_dist=0.5,
+                               surface_only=True,
+                               odom_std_rad=0.002, odom_std_meter=0.01)
+        ds_map = SdfSequence(mesh_gt, R, t, frame_samples=2**12,
+                             frame_batchsize=2048, trunc_dist=0.5,
+                             near_surface_n=2, near_surface_std=0.25,
+                             free_space_n=1, behind_surface_n=1,
+                             odom_std_rad=0.002, odom_std_meter=0.01)
+        cfg["system"].update({"submap_size": 100,
+                              "submap_local_bound": [[-5.5, 5.5], [-5.5, 5.5],
+                                                     [-2.5, 2.5]]})
+        cfg["model"]["grid"].update({"base_cell_size": 1.5,
+                                     "per_level_scale": 5.0,
+                                     "bound": [[-5.5, 5.5], [-5.5, 5.5],
+                                               [-2.5, 2.5]]})
+        cfg["model"]["decoder"].update({"fix": False, "pretrained_model": None,
+                                        "hidden_dim": 32})
+        cfg["model"]["pose"]["num_poses"] = 100
+        cfg["mapping"].update({"trunc_dist": 0.5, "finite_diff_eps": 0.15,
+                               "eik_trunc_dist": 0.5, "weight_fs": 0.3,
+                               "learning_rate": 3e-3, "loss_type": "L2"})
+        cfg["tracking"].update({"solver": "lm", "loss_type": "GM",
+                                "gm_scale_sdf": 0.3, "lm_max_iter": 8})
+        cfg["visualizer"] = {"enable": False}
+    else:
+        d = cfg["dataset"]
+        ds_track = PosedSdf3DLidar(
+            lidar_folder=d["path"], pose_file_gt=d["pose_gt"],
+            pose_file_init=d["pose_init"], num_frames=d.get("num_frames"),
+            frame_samples=2**20, frame_batchsize=d.get("frame_batchsize", 1024),
+            trunc_dist=d.get("trunc_dist", 0.5), voxel_size=0.6,
+            surface_only=True)
+        ds_map = PosedSdf3DLidar(
+            lidar_folder=d["path"], pose_file_gt=d["pose_gt"],
+            pose_file_init=d["pose_init"], num_frames=d.get("num_frames"),
+            frame_samples=d.get("frame_samples", 2**12),
+            frame_batchsize=d.get("frame_batchsize", 1024),
+            trunc_dist=d.get("trunc_dist", 0.5), voxel_size=0.08,
+            near_surface_n=4, free_space_n=2, behind_surface_n=1)
+
+    if args.synthetic:
+        dec = pretrain_decoder_synthetic(mesh_gt, cfg["model"], 0.5)
+        cfg["model"]["decoder"]["fix"] = True
+    atlas = GridAtlas(cfg["model"],
+                      max_kfs_per_submap=cfg["system"]["submap_size"])
+    R0, t0 = ds_track.noisy_kf_pose_in_world(0)
+    if args.synthetic:
+        atlas.cfg_model["decoder"]["fix"] = True
+        _orig_rebuild = atlas._rebuild_params
+        def _rebuild_with_decoder(*a, **k):
+            _orig_rebuild(*a, **k)
+            atlas.params = atlas.params.replace(decoder=dec)
+        atlas._rebuild_params = _rebuild_with_decoder
+    t_start = time.time()
+    system = System(atlas, ds_track, ds_map, cfg,
+                    R_world_origin=R0, t_world_origin=t0)
+    system.run()
+    slam_time = time.time() - t_start
+
+    # Trajectory + mesh artifacts (full_slam_newer_college.py:101-114).
+    import jax.numpy as jnp
+    Rk, tk = atlas.params.updated_kf_poses_in_world()
+    n = ds_track.num_kfs
+    T_est = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    T_est[:, :3, :3] = np.asarray(Rk)[:n]
+    T_est[:, :3, 3] = np.asarray(tk)[:n]
+    write_kitti_format_poses(os.path.join(args.save_dir, "traj_est_kitti.txt"),
+                             T_est)
+    T_gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    for k in range(n):
+        Rg, tg = ds_track.true_kf_pose_in_world(k)
+        T_gt[k, :3, :3] = Rg
+        T_gt[k, :3, 3] = np.reshape(tg, 3)
+    ate = trajectory_error(T_est, T_gt, align=True)
+    save_mesh(atlas.params, atlas.global_bound(),
+              os.path.join(args.save_dir, "mesh_final.ply"),
+              resolution=args.mesh_resolution)
+    print(f"ATE rmse {ate['ate_rmse']*100:.2f} cm | slam {slam_time:.1f}s")
+    with open(os.path.join(args.save_dir, "results.json"), "w") as f:
+        json.dump({"ate": ate, "slam_time_sec": slam_time,
+                   "num_submaps": atlas.num_submaps}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

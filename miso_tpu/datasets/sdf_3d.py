@@ -167,6 +167,23 @@ class PosedSdf3D(Dataset):
             origins, dirs = self._pinhole_rays(Rwc, twc)
             t_hit, tri = self.mesh.raycast(origins, dirs)
             hit = t_hit > 0
+            if not hit.any():
+                # Open (non-enclosed) scenes: re-aim at the mesh centroid
+                # (the reference assumes enclosed Replica rooms).
+                center = self.mesh.vertices.mean(0)
+                fwd = center - twc
+                fwd = fwd / (np.linalg.norm(fwd) + 1e-9)
+                upw = np.array([0, 0, 1.0], np.float32)
+                right = np.cross(fwd, upw)
+                if np.linalg.norm(right) < 1e-6:
+                    right = np.array([1.0, 0, 0], np.float32)
+                right = right / np.linalg.norm(right)
+                up = np.cross(right, fwd)
+                Rwc = np.stack([right, up, -fwd], axis=1).astype(np.float32)
+                self.R_world_frame_gt[f] = Rwc
+                origins, dirs = self._pinhole_rays(Rwc, twc)
+                t_hit, tri = self.mesh.raycast(origins, dirs)
+                hit = t_hit > 0
             pts_hit_gt = origins[hit] + dirs[hit] * t_hit[hit][:, None]
             n_hit = len(pts_hit_gt)
             assert n_hit > 0, f"Frame {f} has no hit point"
@@ -224,8 +241,8 @@ class PosedSdf3D(Dataset):
 
         key = jax.random.PRNGKey(int(self._rng.integers(2**31)))
         k1, k2 = jax.random.split(key)
-        t_noise = np.asarray(se3.gaussian_translations(k1, self.num_frames, self.frame_std_meter))
-        R_noise = np.asarray(se3.wrapped_gaussian_rotations(k2, self.num_frames, self.frame_std_rad))
+        t_noise = np.array(se3.gaussian_translations(k1, self.num_frames, self.frame_std_meter))
+        R_noise = np.array(se3.wrapped_gaussian_rotations(k2, self.num_frames, self.frame_std_rad))
         t_noise[0] = 0.0
         R_noise[0] = np.eye(3)
         self.t_world_frame = (self.t_world_frame_gt + t_noise).astype(np.float32)
