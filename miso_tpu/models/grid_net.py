@@ -33,7 +33,8 @@ from miso_tpu.ops.mlp import mlp_apply, mlp_init
 
 class GridNet(struct.PyTreeNode):
     # --- array leaves -----------------------------------------------------
-    features: Tuple[jnp.ndarray, ...]          # per level (g0.., F)
+    features: Tuple[Any, ...]                  # per level: (g0.., F) array
+                                               # (regular) or VM factor dict
     stability: Tuple[jnp.ndarray, ...]         # per level (g0.., 1)
     decoder: Any                               # MLP params or None
     rot_corr: jnp.ndarray                      # (K, 3)
@@ -42,6 +43,7 @@ class GridNet(struct.PyTreeNode):
     twk: jnp.ndarray                           # (K, 3)
     bound: jnp.ndarray                         # (d, 2)
     ignore_level: jnp.ndarray                  # (L,) float; 1 = ignored
+    vm_bases: Any = None                       # per level basis dict (VM only)
     # --- static config ----------------------------------------------------
     d: int = struct.field(pytree_node=False, default=3)
     fdim: int = struct.field(pytree_node=False, default=4)
@@ -51,6 +53,8 @@ class GridNet(struct.PyTreeNode):
     decoder_fixed: bool = struct.field(pytree_node=False, default=False)
     optimize_pose: bool = struct.field(pytree_node=False, default=False)
     anchor_kf: int = struct.field(pytree_node=False, default=0)
+    grid_type: str = struct.field(pytree_node=False, default="regular")
+    vm_bases_fixed: bool = struct.field(pytree_node=False, default=False)
 
     # --- derived ----------------------------------------------------------
     @property
@@ -62,7 +66,25 @@ class GridNet(struct.PyTreeNode):
 
     # --- queries (pure functions of the pytree) ---------------------------
     def query_feature(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Multi-level interp, concat (reference grid_net.py:288-297)."""
+        """Multi-level interp, concat (reference grid_net.py:288-297).
+
+        grid_type 'VM' uses the TensoRF plane/line factorization with
+        learned bases (grid_modules.py:125-251, utils.py:167-191).
+        """
+        if self.grid_type == "VM":
+            feats = []
+            for level in range(self.num_levels):
+                fac = self.features[level]
+                coeffs = interp.vm_interpolate(
+                    {k: fac[k] for k in ("xy", "xz", "yz")},
+                    {k: fac[k] for k in ("x", "y", "z")}, x, self.bound)
+                basis = self.vm_bases[level]
+                if self.vm_bases_fixed:
+                    basis = jax.lax.stop_gradient(basis)
+                f = interp.vm_basis_apply(basis, coeffs)
+                f = f * (1.0 - self.ignore_level[level])
+                feats.append(f)
+            return jnp.concatenate(feats, axis=-1)
         return interp.multi_level_interpolate(self.features, x, self.bound,
                                               self.ignore_level)
 
@@ -155,22 +177,41 @@ def create_grid_net(key, cfg_model: Dict, bound=None, num_poses: Optional[int] =
     init_std = float(g.get("init_stddev", 0.0))
     initial_features = initial_features or {}
 
+    grid_type = g.get("type", "regular")
+    vm_cfg = g.get("VM", {})
+    rank = int(vm_cfg.get("rank", 10))
     features = []
     stability = []
+    vm_bases = [] if grid_type == "VM" else None
     cell_sizes = []
     for level in range(n_levels):
         cell = base_cell / (scale**level)
         cell_sizes.append(cell)
         shape = interp.grid_shape_for_bound(bound_np, cell, d)
-        if level in initial_features:
+        if grid_type == "VM":
+            # TensoRF plane+line factors (grid_modules.py:130-146).
+            gx, gy, gz = shape
+            def rnd(k, sh):
+                return jax.random.normal(k, sh, dtype) * max(init_std, 1e-2)
+            key, k1, k2, k3, k4, k5, k6, k7, k8, k9 = jax.random.split(key, 10)
+            features.append({
+                "xy": rnd(k1, (gx, gy, rank)), "xz": rnd(k2, (gx, gz, rank)),
+                "yz": rnd(k3, (gy, gz, rank)), "x": rnd(k4, (gx, rank)),
+                "y": rnd(k5, (gy, rank)), "z": rnd(k6, (gz, rank)),
+            })
+            vm_bases.append({
+                "xy_z": rnd(k7, (fdim, rank)), "xz_y": rnd(k8, (fdim, rank)),
+                "yz_x": rnd(k9, (fdim, rank)),
+            })
+        elif level in initial_features:
             f = jnp.asarray(initial_features[level], dtype)
             assert f.shape == (*shape, fdim), (f.shape, shape, fdim)
+            features.append(f)
         elif init_std > 0:
             key, sub = jax.random.split(key)
-            f = jax.random.normal(sub, (*shape, fdim), dtype) * init_std
+            features.append(jax.random.normal(sub, (*shape, fdim), dtype) * init_std)
         else:
-            f = jnp.zeros((*shape, fdim), dtype)
-        features.append(f)
+            features.append(jnp.zeros((*shape, fdim), dtype))
         stability.append(jnp.zeros((*shape, 1), dtype))
 
     decoder = None
@@ -194,6 +235,9 @@ def create_grid_net(key, cfg_model: Dict, bound=None, num_poses: Optional[int] =
         features=tuple(features),
         stability=tuple(stability),
         decoder=decoder,
+        vm_bases=tuple(vm_bases) if vm_bases is not None else None,
+        grid_type=grid_type,
+        vm_bases_fixed=bool(vm_cfg.get("fix_bases", False)),
         rot_corr=jnp.zeros((K, 3), dtype),
         trans_corr=jnp.zeros((K, 3), dtype),
         Rwk=se3.identity_rotations(K, dtype),
@@ -258,7 +302,10 @@ def grid_net_mask(model: GridNet,
             sel = [feat_sel[l] * float(enabled[l]) for l in range(model.num_levels)]
         else:
             sel = [feat_sel[l] * float(bool(enabled)) for l in range(model.num_levels)]
-        return tuple(jnp.asarray(s * feature_lr, jnp.float32) for s in sel)
+        return tuple(
+            jax.tree_util.tree_map(lambda _: jnp.asarray(s * feature_lr, jnp.float32),
+                                   g)
+            for s, g in zip(sel, grids))
 
     pose_mask_val = float(bool(pose)) * pose_lr
     if pose_rows is not None:
@@ -266,9 +313,14 @@ def grid_net_mask(model: GridNet,
     else:
         rot_mask = jnp.asarray(pose_mask_val, jnp.float32)
 
+    vm_mask = None
+    if model.vm_bases is not None:
+        vm_mask = fulls(model.vm_bases,
+                        0.0 if model.vm_bases_fixed else float(bool(decoder)))
     return model.replace(
         features=level_mask(model.features, features),
         stability=level_mask(model.stability, stability),
+        vm_bases=vm_mask,
         decoder=(fulls(model.decoder, float(bool(decoder))) if model.decoder is not None else None),
         rot_corr=rot_mask,
         trans_corr=rot_mask,

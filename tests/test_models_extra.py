@@ -124,3 +124,53 @@ def test_vm_grid_ops(rng):
     out = vm_basis_apply(basis, coeffs)
     assert out.shape == (32, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_vm_gridnet_trains(dataset):
+    """TensoRF-factorized GridNet (grid type 'VM') fits the sphere."""
+    cfg = {"spatial_dim": 3,
+           "grid": {"type": "VM", "feature_dim": 4, "init_stddev": 1e-2,
+                    "bound": [[-1.0, 1.0]] * 3, "base_cell_size": 0.1,
+                    "per_level_scale": 2.0, "n_levels": 1,
+                    "VM": {"rank": 16, "fix_bases": False}},
+           "decoder": {"type": "mlp", "hidden_dim": 32, "hidden_layers": 1,
+                       "out_dim": 1, "pos_invariant": True, "fix": False,
+                       "pretrained_model": None},
+           "pose": {"optimize": False, "num_poses": 1}}
+    from miso_tpu.models.grid_net import create_grid_net
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                        eik_weight=0.0, trunc_dist=0.3)
+    _fit_and_eval(model, dataset, loss_fn, epochs=300, lr=5e-3, tol=0.1)
+
+
+def test_gridnet_2d_trains(rng):
+    """2D GridNet on an Sdf2D dataset (disk occupancy image)."""
+    from miso_tpu.datasets.sdf_2d import Sdf2D
+    from miso_tpu.losses.sdf import sdf_loss_3d
+    from miso_tpu.models.grid_net import create_grid_net
+    from miso_tpu.train.trainer import Trainer
+
+    H = W = 64
+    ii, jj = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = np.ones((H, W), np.float32)
+    img[(ii - 32) ** 2 + (jj - 32) ** 2 < 12**2] = 0.0
+    ds = Sdf2D(img, batch_size=2048, cell_size=0.1)
+    cfg = {"spatial_dim": 2,
+           "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
+                    "bound": ds.bound.tolist(), "base_cell_size": 0.8,
+                    "per_level_scale": 4.0, "n_levels": 2},
+           "decoder": {"type": "mlp", "hidden_dim": 32, "hidden_layers": 1,
+                       "out_dim": 1, "pos_invariant": True, "fix": False,
+                       "pretrained_model": None},
+           "pose": {"optimize": False, "num_poses": 1}}
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_loss(sdf_loss_3d, sdf_weight=3e3)
+    model = Trainer({"optimizer": "adam", "learning_rate": 5e-3, "epochs": 150},
+                    model, loss_fn, ds).train()
+    # Predicted SDF near the disk boundary within a cell of GT.
+    pts = np.stack([32.5 + 12 * np.cos(np.linspace(0, 2 * np.pi, 64)),
+                    32.5 + 12 * np.sin(np.linspace(0, 2 * np.pi, 64))],
+                   -1).astype(np.float32) * 0.1
+    pred = np.asarray(model(jnp.asarray(pts))).ravel()
+    assert np.abs(pred).mean() < 0.1, np.abs(pred).mean()
