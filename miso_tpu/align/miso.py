@@ -87,6 +87,9 @@ def pairwise_loss_latent(params: GridAtlasParams, atlas: GridAtlas,
         den = (jnp.linalg.norm(f_from, axis=1, keepdims=True)
                * jnp.linalg.norm(f_to, axis=1, keepdims=True))
         loss = jnp.sum(mask * (1.0 - num / jnp.maximum(den, 1e-8))) / count
+    elif align_loss == "InfoNCE":
+        from miso_tpu.losses.common import info_nce_loss
+        loss = info_nce_loss(f_from, f_to, mask)
     else:
         raise ValueError(f"Invalid align loss: {align_loss}")
     return {f"align_latent_level{level}_{src}_{dst}": loss * align_weight}

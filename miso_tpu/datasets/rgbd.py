@@ -48,6 +48,11 @@ class PosedRgbdBase(SubmapDataset):
         H, W = self.depth.shape[1:]
         self.dirs_C = S.ray_dirs_C(H, W, self.fx, self.fy, self.cx, self.cy)
         self.normals = None  # filled lazily for bounds_method == 'normal'
+        # Optional CLIP supervision (sdf_rgbd.py:295-380): per-frame CLIP
+        # feature maps (N, Hc, Wc, D); surface back-projections of
+        # sampled pixels are emitted with their embeddings.
+        self.clip_features: Optional[np.ndarray] = getattr(self, "clip_features", None)
+        self.n_clip_rays = 64
 
     # -- SubmapDataset API -------------------------------------------------
     @property
@@ -112,9 +117,28 @@ class PosedRgbdBase(SubmapDataset):
         signs[b < -self.trunc_dist] = -1.0
         return coords.astype(np.float32), b.astype(np.float32), sdf_valid, signs
 
+    def _sample_clip(self, rng, kf: int):
+        """Surface points + CLIP embeddings for one frame
+        (sdf_rgbd.py:295-380 getitem_clip: depth-interp into the CLIP
+        grid)."""
+        H, W = self.depth.shape[1:]
+        Hc, Wc = self.clip_features.shape[1:3]
+        d = self.depth[kf]
+        valid = np.flatnonzero((d.reshape(-1) > self.min_depth)
+                               & np.isfinite(d.reshape(-1)))
+        if len(valid) == 0:
+            valid = np.array([0])
+        pix = valid[rng.integers(0, len(valid), self.n_clip_rays)]
+        ih, iw = pix // W, pix % W
+        depth_sample = d[ih, iw].astype(np.float32)
+        pts_cam = self.dirs_C[ih, iw] * depth_sample[:, None]
+        emb = self.clip_features[kf, (ih * Hc) // H, (iw * Wc) // W]
+        return pts_cam.astype(np.float32), emb.astype(np.float32)
+
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         kfs = self._selected if self._selected is not None else list(range(self.num_kfs))
         coords, sdf, valid, signs, ids = [], [], [], [], []
+        clip_pts, clip_emb, clip_ids = [], [], []
         per = self.n_rays * (self.n_strat + self.n_surf)
         for kf in kfs:
             c, b, v, s = self._sample_frame(rng, kf)
@@ -123,8 +147,13 @@ class PosedRgbdBase(SubmapDataset):
             valid.append(v)
             signs.append(s)
             ids.append(np.full((per,), kf, np.int32))
+            if self.clip_features is not None:
+                cp, ce = self._sample_clip(rng, kf)
+                clip_pts.append(cp)
+                clip_emb.append(ce)
+                clip_ids.append(np.full((len(cp),), kf, np.int32))
         N = per * len(kfs)
-        return {
+        batch = {
             "coords_frame": np.concatenate(coords),
             "sample_frame_ids": np.concatenate(ids),
             "weights": np.ones((N, 1), np.float32),
@@ -132,6 +161,11 @@ class PosedRgbdBase(SubmapDataset):
             "sdf_valid": np.concatenate(valid),
             "sdf_signs": np.concatenate(signs),
         }
+        if clip_pts:
+            batch["clip_coords_frame"] = np.concatenate(clip_pts)
+            batch["clip_sample_frame_ids"] = np.concatenate(clip_ids)
+            batch["clip_embeddings"] = np.concatenate(clip_emb)
+        return batch
 
 
 class SyntheticRgbd(PosedRgbdBase):

@@ -144,6 +144,26 @@ def pose_trust_region_loss(rot_corr, trans_corr, thresh_rad, thresh_m, weight=1e
     }
 
 
+def info_nce_loss(query, positive, mask=None, temperature=0.1):
+    """InfoNCE between per-point feature pairs (reference utils.InfoNCE,
+    used by pairwise_loss_latent's 'InfoNCE' option, miso.py:207-208):
+    each query's positive is its own pair; all other rows are negatives.
+    Masked rows are excluded from both anchors and negatives."""
+    q = query / (jnp.linalg.norm(query, axis=1, keepdims=True) + 1e-8)
+    p = positive / (jnp.linalg.norm(positive, axis=1, keepdims=True) + 1e-8)
+    logits = q @ p.T / temperature                      # (N, N)
+    if mask is not None:
+        col_ok = (mask.reshape(1, -1) > 0)
+        logits = jnp.where(col_ok, logits, -1e9)
+    labels = jnp.arange(q.shape[0])
+    logp = jax.nn.log_softmax(logits, axis=1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)
+    if mask is None:
+        return jnp.mean(nll)
+    m = mask.reshape(-1, 1)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
 def total_loss(loss_dict):
     """Sum of loss-dict means (reference trainer.py:208-212)."""
     return sum(jnp.mean(v) for v in loss_dict.values())

@@ -43,16 +43,20 @@ def tracking_loss(model, batch, key, weight_sdf=1.0, loss_type="L2",
 def mapping_loss(model, batch, key, loss_type="L1", weight_sdf=1.0,
                  weight_eik=0.5, weight_fs=0.0, trunc_dist=0.0,
                  finite_diff_eps=1e-2, grad_method="autograd",
-                 eik_trunc_dist=0.1, use_stability=False,
+                 eik_trunc_dist=0.1, use_stability=False, weight_clip=0.0,
                  pose_lock_rows=None):
     """MisoLossMapping (loss.py:703-853): weighted SDF regression +
-    eikonal (|gt| < eik_trunc filtered) + free-space bound."""
+    eikonal (|gt| < eik_trunc filtered) + free-space bound + optional
+    CLIP-feature regression head (loss.py:815-844: decoder output
+    channel 0 is SDF, channels 1.. regress CLIP embeddings at the
+    batch's clip_* sample set)."""
     gt_sdf = batch["sdf"]
     valid = batch["sdf_valid"]
     sign = batch["sdf_signs"]
     weights = batch.get("weights")
     coords_world = _coords_to_world(model, batch, pose_lock_rows)
-    pred = model(coords_world)
+    model_out = model(coords_world)
+    pred = model_out[:, :1]
     out = {}
     out[f"sdf_{loss_type}"] = common.regression_loss(
         pred, gt_sdf, valid, weights, loss_type) * weight_sdf
@@ -60,12 +64,22 @@ def mapping_loss(model, batch, key, loss_type="L1", weight_sdf=1.0,
         sel = (jnp.abs(gt_sdf) < eik_trunc_dist).astype(gt_sdf.dtype) \
             if eik_trunc_dist is not None else None
         out["eik"] = common.eikonal_loss_at(
-            model, coords_world, sel, grad_method, finite_diff_eps) * weight_eik
+            lambda xx: model(xx)[:, :1], coords_world, sel, grad_method,
+            finite_diff_eps) * weight_eik
     if weight_fs > 0:
         out["free_space"] = common.free_space_loss(
             pred, gt_sdf, sign, trunc_dist) * weight_fs
     if use_stability:
         out.update(common.feature_stability_loss(model, coords_world))
+    if weight_clip > 0 and "clip_coords_frame" in batch:
+        ids = batch["clip_sample_frame_ids"].reshape(-1).astype(jnp.int32) \
+            - model.anchor_kf
+        R, t = model.updated_kf_poses(lock_mask=pose_lock_rows)
+        clip_world = se3.transform_points_by_id(batch["clip_coords_frame"],
+                                                ids, R, t)
+        pred_clip = model(clip_world)[:, 1:]
+        out["clip_L1"] = common.regression_loss(
+            pred_clip, batch["clip_embeddings"], None, None, "L1") * weight_clip
     return out
 
 

@@ -109,3 +109,46 @@ loss: {{sdf_weight: 1000.0}}
              "sdf_signs": jnp.zeros((16, 1))}
     d = loss_fn(model, batch, jax.random.PRNGKey(0))
     assert "sdf" in d
+
+
+def test_clip_supervision_pipeline(rng):
+    """CLIP head: dataset emits clip_* keys; mapping loss regresses the
+    decoder's extra output channels against them."""
+    import jax
+    from miso_tpu.losses.miso import mapping_loss
+    from miso_tpu.models.grid_net import create_grid_net
+
+    verts, tris = room_scene(4.0, seed=0)
+    mesh = TriangleMesh(verts, tris)
+    R, t = orbit_trajectory([0, 0, 0], 1.4, 1.2, 2, look_at=[0, 0, -0.5],
+                            convention="opencv")
+    ds = SyntheticRgbd(mesh, R, t, width=64, height=48, n_rays=32,
+                       n_strat_samples=6, n_surf_samples=2, trunc_dist=0.2)
+    # Fake CLIP maps: 8-dim embeddings on a coarse pixel grid.
+    ds.clip_features = rng.standard_normal((2, 12, 16, 8)).astype(np.float32)
+    batch = ds.sample(rng)
+    assert batch["clip_coords_frame"].shape[1] == 3
+    assert batch["clip_embeddings"].shape[1] == 8
+
+    cfg = {"spatial_dim": 3,
+           "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
+                    "bound": [[-3.0, 3.0], [-3.0, 3.0], [-2.0, 2.0]],
+                    "base_cell_size": 1.0, "per_level_scale": 2.0,
+                    "n_levels": 2},
+           "decoder": {"type": "mlp", "hidden_dim": 32, "hidden_layers": 1,
+                       "out_dim": 9,  # SDF + 8 CLIP channels
+                       "pos_invariant": True, "fix": False,
+                       "pretrained_model": None},
+           "pose": {"optimize": False, "num_poses": 2}}
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    for k in range(2):
+        Rk, tk = ds.true_kf_pose_in_world(k)
+        model = model.set_initial_kf_pose(k, jnp.asarray(Rk), jnp.asarray(tk))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    d = mapping_loss(model, jb, jax.random.PRNGKey(0), weight_eik=0.0,
+                     weight_fs=0.1, trunc_dist=0.2, weight_clip=0.1)
+    assert "clip_L1" in d and np.isfinite(float(d["clip_L1"]))
+    g = jax.grad(lambda m: sum(jnp.mean(v) for v in mapping_loss(
+        m, jb, jax.random.PRNGKey(0), weight_eik=0.0, weight_fs=0.1,
+        trunc_dist=0.2, weight_clip=0.1).values()), allow_int=True)(model)
+    assert float(jnp.abs(g.features[0]).max()) > 0
