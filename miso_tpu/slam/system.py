@@ -72,7 +72,9 @@ class System:
                               num_poses=self.cfg["system"]["submap_size"])
         self.model.add_kf()  # anchor at identity in submap
         self._fresh_tracker_mapper()
-        self.mapper.mapping([self.current_kf_id()], iterations=50, level_iterations=20)
+        slots = self.max_replay_frames + 1
+        self.mapper.mapping([self.current_kf_id()] * slots, iterations=50,
+                            level_iterations=20)
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
         self.visualizer = Visualizer(self.model, cfg=self.cfg)
@@ -125,7 +127,9 @@ class System:
         kf_id = self.model.add_kf()  # identity in new submap
         assert kf_id == dst
         self._fresh_tracker_mapper()
-        self.mapper.mapping([self.current_kf_id()], iterations=50, level_iterations=20)
+        slots = self.max_replay_frames + 1
+        self.mapper.mapping([self.current_kf_id()] * slots, iterations=50,
+                            level_iterations=20)
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
 
@@ -147,11 +151,20 @@ class System:
             head_kf = self.current_kf_id()
             self.tracker.track(optimize_kf=head_kf)
             self._push_grid()
-            # Replay window (system.py:190-196).
+            # Replay window (system.py:190-196), padded to a FIXED slot
+            # count: on TPU a varying keyframe count would recompile the
+            # mapping step per window size; repeating keyframes into the
+            # spare slots keeps one compiled shape for the whole run.
             replay_freq = max((head_kf - self.first_frame_in_submap) // self.max_replay_frames,
                               self.max_replay_freq)
             mapping_kfs = list(range(self.first_frame_in_submap, head_kf, replay_freq))
             mapping_kfs.append(head_kf)
+            slots = self.max_replay_frames + 1
+            if len(mapping_kfs) > slots:
+                mapping_kfs = mapping_kfs[-slots:]
+            base = list(mapping_kfs)
+            while len(mapping_kfs) < slots:
+                mapping_kfs.append(base[len(mapping_kfs) % len(base)])
             self.mapper.mapping(mapping_kfs, iterations=15, level_iterations=5)
             self.tracker.grid = self.mapper.grid
             self._sync_submap_from_tracker_mapper()
