@@ -29,12 +29,14 @@ def build_synthetic_atlas(seed=0):
     from miso_tpu.datasets.shapes import room_scene
     from miso_tpu.losses.miso import make_loss, mapping_loss
     from miso_tpu.models.grid_atlas import GridAtlas
+    from miso_tpu.models.grid_net import create_grid_net as create_grid_net_fn
     from miso_tpu.models.grid_net import grid_net_mask
     from miso_tpu.native import TriangleMesh
     from miso_tpu.train.trainer import GridTrainer
 
     verts, tris = room_scene(6.0, seed=seed)
-    ds = SubmapSdf3D(TriangleMesh(verts, tris), nx=2, ny=1,
+    mesh_gt = TriangleMesh(verts, tris)
+    ds = SubmapSdf3D(mesh_gt, nx=2, ny=1,
                      frames_per_submap=6, frame_samples=2**12,
                      frame_batchsize=2048, trunc_dist=0.3,
                      near_surface_std=0.1, overlap=1.0, seed=seed)
@@ -51,8 +53,30 @@ def build_synthetic_atlas(seed=0):
     # All submaps share the local bound shape for stacking.
     bound = ds.submap_bound(0)
     cfg_model["grid"]["bound"] = bound.tolist()
+    # Pretrain + FREEZE the shared decoder on the scene first: latent
+    # alignment compares raw features across submaps, so the decoder
+    # must be identical and fixed during per-submap training (the
+    # reference ships decoder_indoor.pt for exactly this reason,
+    # scannet.yaml:17).
+    from miso_tpu.datasets.sdf_3d import Sdf3D
+    from miso_tpu.losses.sdf import tsdf_loss_3d
+
+    ds_pre = Sdf3D(mesh_gt, batch_size=2**13, total_samples=2**16,
+                   trunc_dist=0.3)
+    cfg_pre = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in cfg_model.items()}
+    cfg_pre["grid"] = dict(cfg_model["grid"], bound=ds_pre.bound.tolist())
+    cfg_pre["pose"] = {"optimize": False, "num_poses": 1}
+    pre_model = create_grid_net_fn(jax.random.PRNGKey(11), cfg_pre)
+    pre_loss = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                         eik_weight=0.0, trunc_dist=0.3)
+    pre_tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
+                          "epochs": 200, "max_epochs_in_level": 60,
+                          "grid_training_mode": "coordinate+joint"},
+                         pre_model, pre_loss, ds_pre)
+    shared_decoder = pre_tr.train().decoder
+    cfg_model["decoder"]["fix"] = True
     atlas = GridAtlas(cfg_model, max_kfs_per_submap=ds.frames_per_submap)
-    shared_decoder = None
     for s in range(ds.num_submaps):
         R, t = ds.true_submap_pose(s)
         atlas.add_submap(bound, R, t, num_poses=ds.frames_per_submap)
@@ -71,18 +95,17 @@ def build_synthetic_atlas(seed=0):
     for s in range(ds.num_submaps):
         kfs = [s * ds.frames_per_submap + k for k in range(ds.frames_per_submap)]
         ds.select_keyframes(kfs)
-        grid = atlas.get_submap(s)
-        if shared_decoder is not None:
-            grid = grid.replace(decoder=shared_decoder)
+        grid = atlas.get_submap(s).replace(decoder=shared_decoder,
+                                           decoder_fixed=True)
         tr = GridTrainer({"optimizer": "adam", "learning_rate": 3e-3,
-                          "epochs": 200, "max_epochs_in_level": 60,
+                          "epochs": 250, "max_epochs_in_level": 80,
                           "grid_training_mode": "coordinate+joint"},
                          grid, loss_fn,
                          ds, mask_for_level=lambda m, level:
                          grid_net_mask(m, level=level, pose=False))
         grid = tr.train()
-        shared_decoder = grid.decoder
         atlas.set_submap(s, grid)
+    atlas.params = atlas.params.replace(decoder=shared_decoder)
     ds.unselect_keyframes()
     return atlas, ds
 

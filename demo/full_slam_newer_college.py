@@ -88,13 +88,11 @@ def main():
                              near_surface_n=2, near_surface_std=0.25,
                              free_space_n=1, behind_surface_n=1,
                              odom_std_rad=0.002, odom_std_meter=0.01)
+        bound = [[-8.0, 8.0], [-8.0, 8.0], [-3.5, 3.5]]
         cfg["system"].update({"submap_size": 100,
-                              "submap_local_bound": [[-5.5, 5.5], [-5.5, 5.5],
-                                                     [-2.5, 2.5]]})
+                              "submap_local_bound": bound})
         cfg["model"]["grid"].update({"base_cell_size": 1.5,
-                                     "per_level_scale": 5.0,
-                                     "bound": [[-5.5, 5.5], [-5.5, 5.5],
-                                               [-2.5, 2.5]]})
+                                     "per_level_scale": 5.0, "bound": bound})
         cfg["model"]["decoder"].update({"fix": False, "pretrained_model": None,
                                         "hidden_dim": 32})
         cfg["model"]["pose"]["num_poses"] = 100

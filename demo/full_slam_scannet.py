@@ -53,6 +53,10 @@ def main():
     p.add_argument("--num_frames", type=int, default=24)
     p.add_argument("--mesh_resolution", type=int, default=256)
     p.add_argument("--gt_mesh", default=None)
+    p.add_argument("--icp_align", action="store_true",
+                   help="ICP-align the mesh to GT before metrics "
+                        "(for real data whose GT mesh is in another frame)")
+    p.add_argument("--stability_mesh_thresh", type=float, default=0.2)
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -80,25 +84,26 @@ def main():
         gt_mesh = TriangleMesh(verts, tris)
         R, t = orbit_trajectory([0, 0, 0], 1.8, 1.4, args.num_frames,
                                 look_at=[0, 0, -0.5])
-        dataset = SdfSequence(gt_mesh, R, t, frame_samples=2**12,
-                              frame_batchsize=2048, trunc_dist=0.3,
+        dataset = SdfSequence(gt_mesh, R, t, frame_samples=2**13,
+                              frame_batchsize=4096, trunc_dist=0.3,
                               near_surface_std=0.1,
                               odom_std_rad=0.002, odom_std_meter=0.005)
+        bound = [[-6.0, 6.0], [-6.0, 6.0], [-3.0, 3.0]]
         cfg["system"].update({"submap_size": 100,
-                              "submap_local_bound": [[-3.5, 3.5], [-3.5, 3.5],
-                                                     [-2.0, 2.0]]})
+                              "submap_local_bound": bound})
         cfg["model"]["grid"].update({"base_cell_size": 1.0,
-                                     "per_level_scale": 4.0,
-                                     "bound": [[-3.5, 3.5], [-3.5, 3.5],
-                                               [-2.0, 2.0]]})
+                                     "per_level_scale": 4.0, "bound": bound})
         cfg["model"]["decoder"].update({"fix": False, "pretrained_model": None,
                                         "hidden_dim": 32})
         cfg["model"]["pose"]["num_poses"] = 100
         cfg["mapping"].update({"trunc_dist": 0.3, "finite_diff_eps": 0.05,
                                "eik_trunc_dist": 0.3, "weight_fs": 0.2,
-                               "learning_rate": 3e-3})
-        cfg["tracking"].update({"solver": "lm", "loss_type": "GM",
-                                "gm_scale_sdf": 0.1, "lm_max_iter": 8})
+                               "learning_rate": 3e-3, "use_stability": True})
+        # The reference's ScanNet profile tracks with the gentle Adam
+        # solver (scannet.yaml:30-33); LM is reserved for the dense
+        # LiDAR profile where maps are strongly constrained.
+        cfg["tracking"].update({"solver": "adam", "loss_type": "L1",
+                                "learning_rate": 1e-3, "trunc_dist": None})
         cfg["visualizer"] = {"enable": False}
     else:
         dataset = cfg_dataset(cfg)
@@ -143,21 +148,29 @@ def main():
     write_kitti_format_poses(os.path.join(args.save_dir, "traj_gt_kitti.txt"), T_gt)
 
     # Mesh + reconstruction eval (full_slam_scannet.py:161-191).
-    mesh = save_mesh(atlas.params, atlas.global_bound(),
+    # Mask unobserved space via the stability field so spurious
+    # zero-crossings in never-seen regions don't pollute the mesh.
+    from miso_tpu.utils.sdf import observed_sdf_query
+
+    query = observed_sdf_query(atlas.params, args.stability_mesh_thresh)
+    mesh = save_mesh(query, atlas.global_bound(),
                      os.path.join(args.save_dir, "mesh_final.ply"),
                      resolution=args.mesh_resolution)
     results = {"ate": ate, "slam_time_sec": slam_time,
                "num_submaps": atlas.num_submaps, "num_keyframes": n}
     if gt_mesh is not None:
-        # ICP-align predicted mesh to GT before metrics
-        # (full_slam_scannet.py:168-176).
-        pred_pts = mesh.sample_surface(50000, seed=0)
-        gt_pts = gt_mesh.sample_surface(50000, seed=1)
-        T_icp, _, _ = icp_point_to_point(pred_pts, gt_pts, max_corr_dist=0.5)
-        from miso_tpu.native import TriangleMesh as TM
-        aligned = TM(mesh.vertices @ T_icp[:3, :3].T.astype(np.float32)
-                     + T_icp[:3, 3].astype(np.float32), mesh.triangles)
-        recon = mesh_reconstruction_metrics(aligned, gt_mesh, n_points=100000,
+        eval_mesh = mesh
+        if args.icp_align:
+            # ICP-align predicted mesh to GT before metrics
+            # (full_slam_scannet.py:168-176) -- for real data whose GT
+            # mesh lives in a different frame.
+            pred_pts = mesh.sample_surface(50000, seed=0)
+            gt_pts = gt_mesh.sample_surface(50000, seed=1)
+            T_icp, _, _ = icp_point_to_point(pred_pts, gt_pts, max_corr_dist=0.5)
+            from miso_tpu.native import TriangleMesh as TM
+            eval_mesh = TM(mesh.vertices @ T_icp[:3, :3].T.astype(np.float32)
+                           + T_icp[:3, 3].astype(np.float32), mesh.triangles)
+        recon = mesh_reconstruction_metrics(eval_mesh, gt_mesh, n_points=100000,
                                             threshold=0.05, truncation=0.5)
         results["reconstruction"] = recon
         print(json.dumps(recon, indent=2))

@@ -132,6 +132,24 @@ class GridAtlasParams(struct.PyTreeNode):
         sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
         return jnp.sum(feats, axis=0) / sum_w
 
+    def query_stability(self, x_world: jnp.ndarray) -> jnp.ndarray:
+        """Masked average of per-submap stability (mu) fields -- the
+        atlas-level observedness signal (used e.g. by
+        utils.sdf.observed_sdf_query for masked meshing)."""
+        R_ws, t_ws = self.updated_submap_poses()
+
+        def per_submap(stabs, bound, sizes, R, t, act):
+            xs = se3.transform_points_from(x_world, R, t)
+            mask = se3.coords_in_bound(xs, bound) * act
+            f = _interp_levels_sized(stabs, xs, bound, sizes, None)
+            return mask * f, mask
+
+        mus, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
+            self.stability, self.bounds, self.sizes, R_ws, t_ws, self.active)
+        sum_w = jnp.sum(masks, axis=0)
+        sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
+        return jnp.sum(mus, axis=0) / sum_w
+
     def __call__(self, x_world: jnp.ndarray) -> jnp.ndarray:
         feats = self.query_feature(x_world)
         decoder = self.decoder

@@ -34,6 +34,8 @@ class Mapper:
             finite_diff_eps=c.get("finite_diff_eps", 1e-2),
             grad_method=c.get("grad_method", "finitediff"),
             eik_trunc_dist=c.get("eik_trunc_dist", 0.1),
+            use_stability=c.get("use_stability", False),
+            weight_clip=c.get("weight_clip", 0.0),
         )
 
     def mapping(self, mapping_kfs: List[int], iterations=10, level_iterations=5):

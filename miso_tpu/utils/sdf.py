@@ -81,6 +81,23 @@ def save_mesh(query_func, bound, save_path: Optional[str] = None,
     return TriangleMesh(verts, tris)
 
 
+def observed_sdf_query(model, stability_thresh=0.2, fill_value=1e3):
+    """Wrap a model so unobserved regions decode to a large positive SDF.
+
+    Uses the stability (mu) grids (trained toward 1 at observed points,
+    loss.py:170-184) as an observedness mask: marching cubes then only
+    extracts surface where the map actually saw data, suppressing the
+    spurious zero crossings that zero-feature regions produce.
+    """
+    def query(x):
+        sdf = model(x)[:, :1]
+        mu = model.query_stability(x)[:, :1]
+        import jax.numpy as jnp
+        return jnp.where(mu > stability_thresh, sdf, fill_value)
+
+    return query
+
+
 def write_ply(path: str, verts: np.ndarray, tris: np.ndarray):
     """Minimal binary-little-endian PLY writer (replaces trimesh.export)."""
     verts = np.asarray(verts, np.float32)

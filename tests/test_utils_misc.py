@@ -1,0 +1,86 @@
+"""Coverage for meshing extras, profiling, vis, eval utilities."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miso_tpu.utils.eval import trajectory_error, umeyama_alignment
+from miso_tpu.utils.profiling import PerfTimer, time_jitted
+from miso_tpu.utils.sdf import observed_sdf_query, sphere_tracing
+
+
+def test_sphere_tracing():
+    def sdf(x):
+        return (jnp.linalg.norm(x, axis=-1, keepdims=True) - 0.5)
+
+    origins = jnp.asarray(np.array([[2.0, 0, 0], [0, 2.0, 0]], np.float32))
+    dirs = -origins
+    pts, hit = sphere_tracing(sdf, origins, dirs, max_iters=50)
+    assert bool(hit.all())
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(pts), axis=1), 0.5,
+                               atol=1e-3)
+
+
+def test_umeyama_and_ate(rng):
+    from scipy.spatial.transform import Rotation
+
+    gt = rng.standard_normal((50, 3))
+    R = Rotation.from_rotvec([0.2, -0.1, 0.3]).as_matrix()
+    t = np.array([1.0, -2.0, 0.5])
+    est = (gt - t) @ R  # = R^T (gt - t): inverse transform
+    Rr, tr, _ = umeyama_alignment(est, gt)
+    np.testing.assert_allclose(est @ Rr.T + tr, gt, atol=1e-6)
+    ate = trajectory_error(est, gt, align=True)
+    assert ate["ate_rmse"] < 1e-6
+    ate_noisy = trajectory_error(est + rng.normal(0, 0.01, est.shape), gt)
+    assert 0.005 < ate_noisy["ate_rmse"] < 0.03
+
+
+def test_perf_timer_and_time_jitted():
+    t = PerfTimer()
+    x = jnp.ones((256, 256))
+    f = jax.jit(lambda a: a @ a)
+    out = f(x)
+    cpu, wall = t.check(sync=out)
+    assert wall > 0
+    stats = time_jitted(f, x, iters=3, warmup=1)
+    assert stats["best_ms"] > 0 and stats["mean_ms"] >= stats["best_ms"]
+
+
+def test_observed_sdf_query(rng):
+    from miso_tpu.models.grid_net import create_grid_net
+
+    cfg = {"spatial_dim": 3,
+           "grid": {"type": "regular", "feature_dim": 2, "init_stddev": 1e-2,
+                    "bound": [[-1, 1]] * 3, "base_cell_size": 0.5,
+                    "per_level_scale": 2.0, "n_levels": 1},
+           "decoder": {"type": "none"},
+           "pose": {"optimize": False, "num_poses": 1}}
+    m = create_grid_net(jax.random.PRNGKey(0), cfg)
+    # Mark half the stability grid observed.
+    stab = np.zeros(m.stability[0].shape, np.float32)
+    stab[:2] = 1.0
+    m = m.replace(stability=(jnp.asarray(stab),),
+                  decoder=None)
+    q = observed_sdf_query(m, stability_thresh=0.5, fill_value=99.0)
+    x_obs = jnp.asarray(np.array([[-0.7, 0, 0]], np.float32))
+    x_unobs = jnp.asarray(np.array([[0.7, 0, 0]], np.float32))
+    assert float(q(x_unobs)[0, 0]) == 99.0
+    assert float(q(x_obs)[0, 0]) != 99.0
+
+
+def test_vis_functions(tmp_path, rng):
+    from miso_tpu.utils import vis
+
+    vis.visualize_grid_scalar(rng.standard_normal((16, 16)),
+                              str(tmp_path / "scalar.png"))
+    vis.visualize_grid_magnitude(rng.standard_normal((16, 16, 3)),
+                                 str(tmp_path / "mag.png"))
+    vis.plot_trajectories([rng.standard_normal((10, 3))], ["est"],
+                          str(tmp_path / "traj.png"))
+    vis.plot_training_curves({"epochs": list(range(5)),
+                              "total_loss": [5, 4, 3, 2, 1]},
+                             fig_path=str(tmp_path / "curve.png"))
+    assert (tmp_path / "scalar.png").exists()
+    assert (tmp_path / "traj.png").exists()
