@@ -91,8 +91,9 @@ def main():
         bound = [[-6.0, 6.0], [-6.0, 6.0], [-3.0, 3.0]]
         cfg["system"].update({"submap_size": 100,
                               "submap_local_bound": bound})
-        cfg["model"]["grid"].update({"base_cell_size": 1.0,
-                                     "per_level_scale": 4.0, "bound": bound})
+        # Reference-scale resolution: fine cell 0.1 m (scannet.yaml:23-25).
+        cfg["model"]["grid"].update({"base_cell_size": 0.5,
+                                     "per_level_scale": 5.0, "bound": bound})
         cfg["model"]["decoder"].update({"fix": False, "pretrained_model": None,
                                         "hidden_dim": 32})
         cfg["model"]["pose"]["num_poses"] = 100

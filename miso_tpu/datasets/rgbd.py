@@ -216,3 +216,60 @@ class SyntheticRgbd(PosedRgbdBase):
                                          self.T_WC_gt[:, :3, :3], Rn)
         self.T_WC[:, :3, 3] += tn
         self._setup(seed=seed, **sample_kwargs)
+
+
+class PosedSdfRgbd(PosedRgbdBase):
+    """Raw RGB-D folder loader (reference `grid_opt/datasets/sdf_rgbd.py`):
+    per-frame pose txt files + 16-bit depth PNGs (sdf_rgbd.py:150-215),
+    normals estimated from depth on demand (sdf_rgbd.py:203-207).
+
+    Expects ``<root>/depth/*.png`` and ``<root>/pose/*.txt`` (4x4 rows),
+    with intrinsics either passed explicitly or from a ScanNet-style
+    info file.
+    """
+
+    def __init__(self, root: str, depth_scale=1000.0, intrinsics=None,
+                 intrinsics_file=None, frame_stride=1, max_frames=None,
+                 **sample_kwargs):
+        import glob
+        import os
+
+        depth_files = sorted(glob.glob(os.path.join(root, "depth", "*.png")))
+        pose_files = sorted(glob.glob(os.path.join(root, "pose", "*.txt")))
+        n = min(len(depth_files), len(pose_files))
+        idxs = list(range(0, n, frame_stride))
+        if max_frames:
+            idxs = idxs[:max_frames]
+        assert idxs, f"no frames found under {root}"
+        try:
+            import cv2
+            read_png = lambda p: cv2.imread(p, cv2.IMREAD_UNCHANGED)
+        except Exception:  # PIL fallback
+            from PIL import Image
+            read_png = lambda p: np.array(Image.open(p))
+        depths, poses = [], []
+        for i in idxs:
+            d = read_png(depth_files[i]).astype(np.float32) / depth_scale
+            depths.append(d)
+            poses.append(np.loadtxt(pose_files[i]).reshape(4, 4).astype(np.float32))
+        self.depth = np.stack(depths)
+        self.T_WC_gt = np.stack(poses)
+        self.T_WC = self.T_WC_gt.copy()
+        if intrinsics is not None:
+            self.fx, self.fy, self.cx, self.cy = intrinsics
+        elif intrinsics_file is not None:
+            from miso_tpu.datasets.scannet import load_scannet_intrinsics
+            self.fx, self.fy, self.cx, self.cy, _, _ = \
+                load_scannet_intrinsics(intrinsics_file)
+        else:
+            H, W = self.depth.shape[1:]
+            self.fx = self.fy = 0.9 * W
+            self.cx, self.cy = (W - 1) / 2.0, (H - 1) / 2.0
+        self._setup(**sample_kwargs)
+
+    def estimate_normals(self, kf_id: int) -> np.ndarray:
+        from miso_tpu.utils import sample as S
+
+        pc = S.pointcloud_from_depth(self.depth[kf_id], self.fx, self.fy,
+                                     self.cx, self.cy)
+        return S.estimate_pointcloud_normals(pc)

@@ -54,3 +54,19 @@ def masked_select_tree(tree, mask):
 
 def count_params(tree) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+
+
+def check_tensor(x, name: str = "tensor"):
+    """Assert finiteness (reference utils.py:479-485 check_tensor)."""
+    arr = jnp.asarray(x)
+    if not bool(jnp.all(jnp.isfinite(arr))):
+        raise ValueError(f"{name} contains NaN/Inf")
+    return x
+
+
+def sanitize_batch(batch):
+    """NaN-scrub a batch dict (reference utils.py:487-493
+    sanitize_tensor_dict)."""
+    return {k: jnp.nan_to_num(jnp.asarray(v)) if jnp.issubdtype(
+        jnp.asarray(v).dtype, jnp.floating) else v
+        for k, v in batch.items()}

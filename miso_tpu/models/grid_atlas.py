@@ -38,6 +38,16 @@ from miso_tpu.ops import interp, se3
 _HI = jax.lax.Precision.HIGHEST
 
 
+@jax.jit
+def _jit_add_kf(Rsk, tsk, kf_rc, kf_tc, kmap, kloc, s, kf_local, kf_global, R, t):
+    return (Rsk.at[s, kf_local].set(R),
+            tsk.at[s, kf_local].set(jnp.reshape(t, (3,))),
+            kf_rc.at[s, kf_local].set(0.0),
+            kf_tc.at[s, kf_local].set(0.0),
+            kmap.at[kf_global].set(s.astype(kmap.dtype)),
+            kloc.at[kf_global].set(kf_local.astype(kloc.dtype)))
+
+
 class GridAtlasParams(struct.PyTreeNode):
     # Stacked per-submap state (leading axis S).
     features: Tuple[jnp.ndarray, ...]      # per level (S, g..., F) padded
@@ -410,14 +420,14 @@ class GridAtlas:
         Rsk = np.eye(3, dtype=np.float32) if Rsk is None else np.asarray(Rsk, np.float32)
         tsk = np.zeros(3, np.float32) if tsk is None else np.asarray(tsk, np.float32).reshape(3)
         p = self.params
-        self.params = p.replace(
-            Rsk=p.Rsk.at[s, kf_local].set(Rsk),
-            tsk=p.tsk.at[s, kf_local].set(tsk),
-            kf_rot_corr=p.kf_rot_corr.at[s, kf_local].set(0.0),
-            kf_trans_corr=p.kf_trans_corr.at[s, kf_local].set(0.0),
-            kf_to_submap=p.kf_to_submap.at[kf_global].set(s),
-            kf_to_local=p.kf_to_local.at[kf_global].set(kf_local),
-        )
+        (Rsk_n, tsk_n, rc, tc, kmap, kloc) = _jit_add_kf(
+            p.Rsk, p.tsk, p.kf_rot_corr, p.kf_trans_corr,
+            p.kf_to_submap, p.kf_to_local,
+            jnp.asarray(s), jnp.asarray(kf_local), jnp.asarray(kf_global),
+            jnp.asarray(Rsk), jnp.asarray(tsk))
+        self.params = p.replace(Rsk=Rsk_n, tsk=tsk_n, kf_rot_corr=rc,
+                                kf_trans_corr=tc, kf_to_submap=kmap,
+                                kf_to_local=kloc)
         self.curr_kf_id = kf_global
         return kf_global
 

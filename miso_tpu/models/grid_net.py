@@ -31,6 +31,19 @@ from miso_tpu.ops import interp, se3
 from miso_tpu.ops.mlp import mlp_apply, mlp_init
 
 
+@jax.jit
+def _jit_updated_poses(rot_corr, trans_corr, Rwk, twk):
+    R = se3.so3_exp(rot_corr)
+    return (jnp.matmul(Rwk, R, precision=jax.lax.Precision.HIGHEST),
+            twk + trans_corr)
+
+
+@jax.jit
+def _jit_set_kf_pose(Rwk, twk, rot_corr, trans_corr, kf_id, R, t):
+    return (Rwk.at[kf_id].set(R), twk.at[kf_id].set(jnp.reshape(t, (3,))),
+            rot_corr.at[kf_id].set(0.0), trans_corr.at[kf_id].set(0.0))
+
+
 class GridNet(struct.PyTreeNode):
     # --- array leaves -----------------------------------------------------
     features: Tuple[Any, ...]                  # per level: (g0.., F) array
@@ -114,8 +127,14 @@ class GridNet(struct.PyTreeNode):
             m = lock_mask[:, None]
             dr = jax.lax.stop_gradient(dr) * m + dr * (1.0 - m)
             dt = jax.lax.stop_gradient(dt) * m + dt * (1.0 - m)
-        R = se3.so3_exp(dr)
-        return jnp.matmul(self.Rwk, R, precision=jax.lax.Precision.HIGHEST), self.twk + dt
+            R = se3.so3_exp(dr)
+            return (jnp.matmul(self.Rwk, R,
+                               precision=jax.lax.Precision.HIGHEST),
+                    self.twk + dt)
+        # No lock: route through one jitted call (the host-side SLAM
+        # bookkeeping calls this eagerly every frame; unjitted it issues
+        # ~30 tiny dispatches through the device tunnel).
+        return _jit_updated_poses(dr, dt, self.Rwk, self.twk)
 
     def updated_kf_pose(self, kf_id) -> Tuple[jnp.ndarray, jnp.ndarray]:
         R, t = self.updated_kf_poses()
@@ -132,12 +151,10 @@ class GridNet(struct.PyTreeNode):
     # --- functional mutations --------------------------------------------
     def set_initial_kf_pose(self, kf_id: int, R, t) -> "GridNet":
         """Set initial pose & zero its corrections (grid_net.py:217-240)."""
-        return self.replace(
-            Rwk=self.Rwk.at[kf_id].set(R),
-            twk=self.twk.at[kf_id].set(jnp.reshape(t, (3,))),
-            rot_corr=self.rot_corr.at[kf_id].set(0.0),
-            trans_corr=self.trans_corr.at[kf_id].set(0.0),
-        )
+        Rwk, twk, rc, tc = _jit_set_kf_pose(
+            self.Rwk, self.twk, self.rot_corr, self.trans_corr,
+            jnp.asarray(kf_id), jnp.asarray(R), jnp.asarray(t))
+        return self.replace(Rwk=Rwk, twk=twk, rot_corr=rc, trans_corr=tc)
 
     def zero_features(self) -> "GridNet":
         return self.replace(features=tuple(jnp.zeros_like(f) for f in self.features))

@@ -30,13 +30,24 @@ from miso_tpu.train.optim import (
 )
 
 
+_STEP_CACHE: Dict = {}
+
+
 def make_train_step(loss_fn: Callable, optimizer: str = "adam"):
-    """Build the jitted train step.
+    """Build (and cache) the jitted train step.
 
     loss_fn(model, batch, key) -> dict of scalar losses.
     Returned step(model, opt_state, batch, key, mask, lr) ->
     (model, opt_state, total, loss_dict).
+
+    Steps are cached by (loss_fn, optimizer): SLAM constructs a fresh
+    Trainer per tracking/mapping burst (reference tracker.py:99,
+    mapper.py:83 do the same), and without the cache every burst would
+    build a new jit wrapper and recompile.
     """
+    cache_key = (loss_fn, optimizer)
+    if cache_key in _STEP_CACHE:
+        return _STEP_CACHE[cache_key]
 
     def step(model, opt_state, batch, key, mask, lr):
         def objective(m):
@@ -63,7 +74,9 @@ def make_train_step(loss_fn: Callable, optimizer: str = "adam"):
     # other views (e.g. a GridNet extracted from a GridAtlas shares the
     # decoder / ignore_level buffers; donating them would invalidate the
     # atlas).  Optimizer state is never shared.
-    return jax.jit(step, donate_argnums=(1,))
+    jitted = jax.jit(step, donate_argnums=(1,))
+    _STEP_CACHE[cache_key] = jitted
+    return jitted
 
 
 class Trainer:
@@ -100,6 +113,19 @@ class Trainer:
         self.eval_every = cfg.get("eval_every", -1)
         self.ckpt_every = cfg.get("ckpt_every", -1)
         self.log_dir = cfg.get("log_dir", None)
+        # Optional TensorBoard scalars (reference trainer.py:130,296 uses
+        # SummaryWriter); enabled when a log_dir is set and tensorboardX
+        # is importable.
+        self.writer = None
+        if self.log_dir and cfg.get("tensorboard", True):
+            try:
+                from tensorboardX import SummaryWriter
+
+                import os as _os
+                self.writer = SummaryWriter(_os.path.join(self.log_dir,
+                                                          "tensorboard"))
+            except Exception:
+                self.writer = None
         self.train_dict: Dict[str, List] = {"epochs": [], "elapsed_time": [],
                                             "epoch_time": [], "total_loss": []}
         self.val_dict: Dict[str, List] = {"epochs": [], "total_loss": []}
@@ -179,6 +205,8 @@ class Trainer:
             v = float(jnp.mean(val))
             target.setdefault(name, []).append(v)
             tl += v
+            if self.writer is not None:
+                self.writer.add_scalar(f"{mode}/{name}", v, epoch)
         target["total_loss"].append(tl)
         if mode == "train":
             target["elapsed_time"].append(time.process_time() - self._train_start)
