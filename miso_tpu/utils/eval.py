@@ -160,3 +160,52 @@ def icp_point_to_point(src: np.ndarray, dst: np.ndarray,
             break
         prev_err = err
     return T, rmse, fitness
+
+
+def icp_point_to_plane(src: np.ndarray, dst: np.ndarray,
+                       dst_normals: np.ndarray,
+                       init_T: Optional[np.ndarray] = None,
+                       max_iters: int = 50,
+                       max_corr_dist: float = 0.5,
+                       tol: float = 1e-8):
+    """Point-to-plane ICP (the reference's default constraint,
+    grid_opt/align/icp.py:74-79 TransformationEstimationPointToPlane).
+
+    Minimizes sum(((R p + t - q) . n_q)^2) with the small-angle
+    linearization; far better conditioned than point-to-point on the
+    planar structures that dominate indoor scenes.  Returns
+    (T (4, 4), rmse, fitness)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    n_all = np.asarray(dst_normals, np.float64)
+    T = np.eye(4) if init_T is None else np.asarray(init_T, np.float64).copy()
+    tree = cKDTree(dst)
+    prev_err = np.inf
+    rmse, fitness = np.inf, 0.0
+    for _ in range(max_iters):
+        cur = src @ T[:3, :3].T + T[:3, 3]
+        d, idx = tree.query(cur, k=1, workers=-1)
+        mask = d < max_corr_dist
+        if mask.sum() < 6:
+            break
+        P = cur[mask]
+        Q = dst[idx[mask]]
+        N = n_all[idx[mask]]
+        r = np.einsum("ij,ij->i", P - Q, N)
+        # J = [p x n, n] for the residual d/d(omega, t).
+        J = np.concatenate([np.cross(P, N), N], axis=1)
+        H = J.T @ J + 1e-9 * np.eye(6)
+        x = np.linalg.solve(H, -J.T @ r)
+        from miso_tpu.ops import se3 as _se3
+        import jax.numpy as _jnp
+        dT = np.eye(4)
+        dT[:3, :3] = np.asarray(_se3.so3_exp(_jnp.asarray(x[:3])))
+        dT[:3, 3] = x[3:]
+        T = dT @ T
+        err = float((r**2).mean())
+        rmse = float(np.sqrt((d[mask] ** 2).mean()))
+        fitness = float(mask.mean())
+        if abs(prev_err - err) < tol:
+            break
+        prev_err = err
+    return T, rmse, fitness

@@ -157,3 +157,38 @@ def test_system_runs_full_slam(seq, pretrained_decoder_path):
     pts_world = pts_frame @ np.asarray(R3).T + np.asarray(t3)
     sdf = np.asarray(atlas.params(jnp.asarray(pts_world)))
     assert np.abs(sdf).mean() < 0.15, np.abs(sdf).mean()
+
+
+def test_system_checkpoint_resume(seq, pretrained_decoder_path, tmp_path):
+    """Save a mid-stream SLAM checkpoint, resume in a fresh System, and
+    finish the sequence (capability beyond the reference, which has no
+    mid-run SLAM resume: reference run_slam.py:60-75 restarts from
+    scratch)."""
+    model_cfg = dict(MODEL_CFG)
+    model_cfg["decoder"] = dict(MODEL_CFG["decoder"], fix=True,
+                                pretrained_model=pretrained_decoder_path)
+    R0, t0 = seq.true_kf_pose_in_world(0)
+
+    atlas1 = GridAtlas(model_cfg, max_kfs_per_submap=CFG["system"]["submap_size"])
+    sys1 = System(atlas1, seq, seq, CFG, R_world_origin=R0, t_world_origin=t0)
+    sys1.run(max_frames=4)
+    ckpt = str(tmp_path / "slam_ckpt.npz")
+    sys1.save_checkpoint(ckpt)
+
+    atlas2 = GridAtlas(model_cfg, max_kfs_per_submap=CFG["system"]["submap_size"])
+    sys2 = System(atlas2, seq, seq, CFG, R_world_origin=R0, t_world_origin=t0)
+    sys2.load_checkpoint(ckpt)
+    # Restored state matches the saved run exactly.
+    assert atlas2.num_keyframes == atlas1.num_keyframes == 4
+    assert atlas2.curr_submap_id == atlas1.curr_submap_id
+    for a, b in zip(jax.tree_util.tree_leaves(atlas1.params),
+                    jax.tree_util.tree_leaves(atlas2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    sys2.run()
+    assert atlas2.num_keyframes == seq.num_kfs
+    R, t = atlas2.params.updated_kf_poses_in_world()
+    t_est = np.asarray(t)[: seq.num_kfs]
+    t_gt = np.stack([seq.true_kf_pose_in_world(k)[1] for k in range(seq.num_kfs)])
+    ate = np.sqrt(((t_est - t_gt) ** 2).sum(-1).mean())
+    assert ate < 0.2, f"resumed ATE {ate:.3f} m"
