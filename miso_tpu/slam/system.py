@@ -40,6 +40,11 @@ class System:
         self.dataset_map = dataset_map
         self.max_replay_frames = cfg["mapping"].get("max_replay_frames", 10)
         self.max_replay_freq = cfg["mapping"].get("max_replay_freq", 10)
+        # Per-frame / init-burst mapping budgets (reference hardcodes
+        # 15/5 and 50/20, system.py:92-96,187-196).
+        self.map_iters = cfg["mapping"].get("iters_per_frame", 15)
+        self.map_level_iters = cfg["mapping"].get("level_iters_per_frame", 5)
+        self.init_iters = cfg["mapping"].get("init_iterations", 50)
         self.init_odom = cfg["system"].get("init_odom", "external")
         self.log_dir = cfg["system"].get("log_dir", "./results/default")
         self.initialize_system(R_world_origin, t_world_origin)
@@ -73,8 +78,9 @@ class System:
         self.model.add_kf()  # anchor at identity in submap
         self._fresh_tracker_mapper()
         slots = self.max_replay_frames + 1
-        self.mapper.mapping([self.current_kf_id()] * slots, iterations=50,
-                            level_iterations=20)
+        self.mapper.mapping([self.current_kf_id()] * slots,
+                            iterations=self.init_iters,
+                            level_iterations=max(self.init_iters // 3, 1))
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
         self.visualizer = Visualizer(self.model, cfg=self.cfg)
@@ -128,8 +134,9 @@ class System:
         assert kf_id == dst
         self._fresh_tracker_mapper()
         slots = self.max_replay_frames + 1
-        self.mapper.mapping([self.current_kf_id()] * slots, iterations=50,
-                            level_iterations=20)
+        self.mapper.mapping([self.current_kf_id()] * slots,
+                            iterations=self.init_iters,
+                            level_iterations=max(self.init_iters // 3, 1))
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
 
@@ -207,7 +214,8 @@ class System:
             base = list(mapping_kfs)
             while len(mapping_kfs) < slots:
                 mapping_kfs.append(base[len(mapping_kfs) % len(base)])
-            self.mapper.mapping(mapping_kfs, iterations=15, level_iterations=5)
+            self.mapper.mapping(mapping_kfs, iterations=self.map_iters,
+                                level_iterations=self.map_level_iters)
             self.tracker.grid = self.mapper.grid
             self._sync_submap_from_tracker_mapper()
             # Visualization artifacts.
