@@ -88,7 +88,13 @@ def main():
                               frame_batchsize=4096, trunc_dist=0.3,
                               near_surface_std=0.1,
                               odom_std_rad=0.002, odom_std_meter=0.005)
-        bound = [[-6.0, 6.0], [-6.0, 6.0], [-3.0, 3.0]]
+        # The submap frame is the first camera frame (anchor KF is
+        # identity in the submap), so the bound must be rotation-proof:
+        # a cube with half-side >= max distance from the first camera to
+        # any scene point (~room half-diagonal 3.7 + camera offset 2.3).
+        # A clipped bound silently starves tracking AND mapping (see
+        # full_slam_newer_college.py, 70 cm -> 4 cm ATE from this fix).
+        bound = [[-6.5, 6.5], [-6.5, 6.5], [-6.5, 6.5]]
         cfg["system"].update({"submap_size": 100,
                               "submap_local_bound": bound})
         # Reference-scale resolution: fine cell 0.1 m (scannet.yaml:23-25).

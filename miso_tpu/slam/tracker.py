@@ -98,6 +98,8 @@ class Tracker:
         self.solver = c.get("solver", "lm")
         self.disable = bool(c.get("disable", False))
         self.latest_fov_overlap = 1.0
+        self.initial_fov_overlap = 1.0
+        self._warned_overlap = False
         self._rng = np.random.default_rng(c.get("seed", 0))
 
     # -- odometry propagation (tracker.py:65-79) ---------------------------
@@ -122,6 +124,22 @@ class Tracker:
             self.track_lm(optimize_kf)
         else:
             raise ValueError(f"Unknown solver: {self.solver}")
+        # A clipped submap bound silently starves the tracker of
+        # constraints and drags the pose (empirically +30 cm/frame).
+        # Judge containment at the odometry-initialized pose (the
+        # pre-optimization overlap) so pose drift during the solve
+        # doesn't trip it; surface it once instead of letting the run
+        # quietly drift.
+        if self.initial_fov_overlap < 0.9 and not self._warned_overlap:
+            self._warned_overlap = True
+            import warnings
+
+            warnings.warn(
+                f"Tracking kf {optimize_kf}: only "
+                f"{self.initial_fov_overlap:.0%} of frame points fall inside "
+                "the submap bound at the odometry-initialized pose. If this "
+                "is not an intentional submap transition, enlarge "
+                "system.submap_local_bound.")
 
     def track_lm(self, optimize_kf: int):
         self.dataset.select_keyframes([optimize_kf])
@@ -142,6 +160,8 @@ class Tracker:
                 trunc,
                 loss_type=self.loss_type if self.loss_type in ("GM", "L2") else "L2",
             )
+            if it == 0:
+                self.initial_fov_overlap = float(info["fov_overlap"])
             d_deg = math.degrees(float(info["delta_R_rad"]))
             d_m = float(info["delta_t_norm"])
             if self.verbose:
@@ -173,3 +193,4 @@ class Tracker:
         R, t = self.grid.updated_kf_pose(kf - self.grid.anchor_kf)
         pts = se3.transform_points_to(jnp.asarray(batch["coords_frame"]), R, t)
         self.latest_fov_overlap = float(jnp.mean(se3.coords_in_bound(pts, self.grid.bound)))
+        self.initial_fov_overlap = self.latest_fov_overlap

@@ -91,7 +91,11 @@ def observed_sdf_query(model, stability_thresh=0.2, fill_value=1e3):
     """
     def query(x):
         sdf = model(x)[:, :1]
-        mu = model.query_stability(x)[:, :1]
+        # Finest-level stability: the coarse level's cells smear
+        # "observed" ~one coarse cell past the data, which keeps the
+        # phantom TSDF shell behind surfaces (the zero crossing where
+        # behind-surface supervision ends) in the mesh.
+        mu = model.query_stability(x)[:, -1:]
         import jax.numpy as jnp
         return jnp.where(mu > stability_thresh, sdf, fill_value)
 

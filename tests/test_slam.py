@@ -71,8 +71,11 @@ CFG = {
                 "finite_diff_eps": 0.05, "grad_method": "finitediff",
                 "eik_trunc_dist": 0.3, "verbose": False,
                 "max_replay_frames": 5, "max_replay_freq": 2},
+    # The submap frame is the first camera frame, so the bound must be a
+    # rotation-proof cube covering the scene from the first camera
+    # (room(4.0) half-diagonal ~3.0 + orbit offset ~2.0).
     "system": {"init_odom": "external", "submap_size": 100,
-               "submap_local_bound": [[-3.0, 3.0], [-3.0, 3.0], [-2.0, 2.0]],
+               "submap_local_bound": [[-5.0, 5.0], [-5.0, 5.0], [-5.0, 5.0]],
                "submap_fov_thresh": 0.0, "save_submap_mesh": False,
                "log_dir": "/tmp/miso_slam_test"},
     "visualizer": {"enable": False},
