@@ -145,6 +145,9 @@ def main():
     p.add_argument("--use_sdf", action="store_true")
     p.add_argument("--iters", type=int, default=150)
     p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--save_animation", action="store_true",
+                   help="dump per-iteration submap poses + rendered PNG "
+                        "frames (reference align_submaps.py:186-237)")
     p.add_argument("--noise_deg", type=float, default=3.0)
     p.add_argument("--noise_m", type=float, default=0.15)
     p.add_argument("--seed", type=int, default=0)
@@ -183,11 +186,13 @@ def main():
     print(f"BEFORE: rot RMSE {rot0:.3f} deg, trans RMSE {tr0:.3f} m")
 
     t0 = time.time()
+    align_info = None
     if args.method == "miso":
-        align_multiple_submaps_hierarchical(
+        align_info = align_multiple_submaps_hierarchical(
             atlas, level_iters=args.iters, finetune_iters=args.iters,
             lr=args.lr, align_loss="L2", latent_levels=args.feature_levels,
-            skip_finetune=not args.use_sdf, verbose=False, seed=args.seed)
+            skip_finetune=not args.use_sdf, verbose=False, seed=args.seed,
+            save_iterations=args.save_animation)
     elif args.method in ("vfpp", "mips"):
         from miso_tpu.align.baselines import pairwise_loss_mips, pairwise_loss_vfpp
 
@@ -204,13 +209,34 @@ def main():
             return fn(params, atlas, s, d, c, g, v, key=key,
                       subsample_points=4096, **kw)
 
-        generic_align_multiple_submaps(atlas, pair_loss, num_iters=args.iters,
-                                       lr=args.lr, seed=args.seed)
+        align_info = generic_align_multiple_submaps(
+            atlas, pair_loss, num_iters=args.iters, lr=args.lr,
+            seed=args.seed, save_iterations=args.save_animation)
     elif args.method == "icp":
         from miso_tpu.align.baselines import align_multiple_submaps_icp
 
         align_multiple_submaps_icp(atlas)
     elapsed = time.time() - t0
+
+    if args.save_animation and align_info is None:
+        print("--save_animation: no iteration history for method "
+              f"'{args.method}' (not an iterative pose optimizer); skipped.")
+    if args.save_animation and align_info is not None:
+        from miso_tpu.utils.atlas_vis import render_alignment_animation
+
+        # Concatenate phase histories (hierarchical returns one dict per
+        # latent level / sdf finetune phase).
+        histories = []
+        if "iteration_results" in align_info:
+            histories.append(align_info["iteration_results"])
+        else:
+            for key in align_info:
+                sub = align_info[key]
+                if isinstance(sub, dict) and sub.get("iteration_results"):
+                    histories.append(sub["iteration_results"])
+        frames = [T for h in histories for _, T in sorted(h.items())]
+        render_alignment_animation(atlas, frames,
+                                   os.path.join(args.save_dir, "animation"))
 
     rot1, tr1 = pose_errors()
     print(f"AFTER ({args.method}): rot RMSE {rot1:.3f} deg, "

@@ -33,6 +33,51 @@ def visualize_atlas(atlas, save_dir: str, resolution: int = 256,
                             hide_axis=True)
 
 
+def render_alignment_animation(atlas, pose_frames, save_dir: str,
+                               resolution: int = 64, surf_thresh: float = 0.05,
+                               max_points: int = 20000):
+    """Per-iteration alignment animation, headless (replaces the
+    reference's open3d offscreen render loop, align_submaps.py:186-237):
+    each submap's near-surface cloud is drawn in a distinct color,
+    transformed by that iteration's submap poses, as top-down PNG frames;
+    the raw (iters, S, 4, 4) pose history is saved alongside.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from miso_tpu.align.baselines import extract_near_surface_points
+
+    os.makedirs(save_dir, exist_ok=True)
+    S = atlas.num_submaps
+    clouds = []
+    for s in range(S):
+        pts = extract_near_surface_points(atlas, s, resolution, surf_thresh)
+        if len(pts) > max_points:
+            pts = pts[np.random.default_rng(s).choice(len(pts), max_points,
+                                                      replace=False)]
+        clouds.append(pts)
+    history = np.stack([np.asarray(T) for T in pose_frames])  # (it, S, 4, 4)
+    np.save(os.path.join(save_dir, "pose_history.npy"), history)
+    colors = plt.get_cmap("tab10").colors
+    # Common axis limits over all frames.
+    allw = np.concatenate([clouds[s] @ history[0, s, :3, :3].T
+                           + history[0, s, :3, 3] for s in range(S)])
+    lo, hi = allw.min(0) - 0.3, allw.max(0) + 0.3
+    for it in range(len(history)):
+        fig, ax = plt.subplots(figsize=(5, 5))
+        for s in range(S):
+            w = clouds[s] @ history[it, s, :3, :3].T + history[it, s, :3, 3]
+            ax.scatter(w[:, 0], w[:, 1], s=0.2, color=colors[s % len(colors)],
+                       rasterized=True)
+        ax.set_xlim(lo[0], hi[0])
+        ax.set_ylim(lo[1], hi[1])
+        ax.set_aspect("equal")
+        ax.set_title(f"iteration {it}")
+        fig.savefig(os.path.join(save_dir, f"frame_{it:03d}.png"), dpi=110)
+        plt.close(fig)
+
+
 def visualize_submaps(atlas, save_dir: str, resolution: int = 128,
                       use_pose: str = "updated"):
     """Per-submap meshes (local + world-transformed), feature-norm and
