@@ -58,6 +58,10 @@ def main():
     p.add_argument("--save_dir", default="./results/full_slam_ncd")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--num_frames", type=int, default=30)
+    p.add_argument("--submap_size", type=int, default=None,
+                   help="KFs per submap (synthetic); <num_frames spawns "
+                        "multiple submaps and runs Fuser align+fuse after "
+                        "the run (reference fuser.py usage)")
     p.add_argument("--mesh_resolution", type=int, default=512)
     args = p.parse_args()
 
@@ -97,7 +101,7 @@ def main():
         # whole rotated room seen from there (room half-diagonal ~5.7 m
         # + orbit radius + margin).
         bound = [[-9.0, 9.0], [-9.0, 9.0], [-9.0, 9.0]]
-        cfg["system"].update({"submap_size": 100,
+        cfg["system"].update({"submap_size": args.submap_size or 100,
                               "submap_local_bound": bound})
         cfg["model"]["grid"].update({"base_cell_size": 1.0,
                                      "per_level_scale": 5.0, "bound": bound})
@@ -154,27 +158,48 @@ def main():
     system.run()
     slam_time = time.time() - t_start
 
+    def _ate():
+        Rk, tk = atlas.params.updated_kf_poses_in_world()
+        n = ds_track.num_kfs
+        Te = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        Te[:, :3, :3] = np.asarray(Rk)[:n]
+        Te[:, :3, 3] = np.asarray(tk)[:n]
+        Tg = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        for k in range(n):
+            Rg, tg = ds_track.true_kf_pose_in_world(k)
+            Tg[k, :3, :3] = Rg
+            Tg[k, :3, 3] = np.reshape(tg, 3)
+        return trajectory_error(Te, Tg, align=True), Te
+
+    ate_prefusion = None
+    if atlas.num_submaps > 1:
+        # Global consistency pass over the submap collection
+        # (reference fuser.py:29-120).
+        from miso_tpu.slam.fuser import Fuser
+
+        ate_prefusion = _ate()[0]
+        print(f"{atlas.num_submaps} submaps | pre-fusion ATE "
+              f"{ate_prefusion['ate_rmse']*100:.2f} cm -> Fuser align + fuse")
+        cfg.setdefault("align", {}).update({"level_iters": 50,
+                                            "finetune_iters": 50,
+                                            "skip_finetune": False,
+                                            "learning_rate": 2e-3})
+        fuser = Fuser(atlas, ds_map, cfg)
+        fuser.align()
+        fuser.fuse(feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
+                   iterations=30)
+
     # Trajectory + mesh artifacts (full_slam_newer_college.py:101-114).
-    import jax.numpy as jnp
-    Rk, tk = atlas.params.updated_kf_poses_in_world()
-    n = ds_track.num_kfs
-    T_est = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-    T_est[:, :3, :3] = np.asarray(Rk)[:n]
-    T_est[:, :3, 3] = np.asarray(tk)[:n]
+    ate, T_est = _ate()
     write_kitti_format_poses(os.path.join(args.save_dir, "traj_est_kitti.txt"),
                              T_est)
-    T_gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-    for k in range(n):
-        Rg, tg = ds_track.true_kf_pose_in_world(k)
-        T_gt[k, :3, :3] = Rg
-        T_gt[k, :3, 3] = np.reshape(tg, 3)
-    ate = trajectory_error(T_est, T_gt, align=True)
     save_mesh(atlas.params, atlas.global_bound(),
               os.path.join(args.save_dir, "mesh_final.ply"),
               resolution=args.mesh_resolution)
     print(f"ATE rmse {ate['ate_rmse']*100:.2f} cm | slam {slam_time:.1f}s")
     with open(os.path.join(args.save_dir, "results.json"), "w") as f:
-        json.dump({"ate": ate, "slam_time_sec": slam_time,
+        json.dump({"ate": ate, "ate_prefusion": ate_prefusion,
+                   "slam_time_sec": slam_time,
                    "num_submaps": atlas.num_submaps}, f, indent=2)
 
 
