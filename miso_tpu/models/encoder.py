@@ -33,6 +33,7 @@ from miso_tpu.ops.mlp import mlp_apply, mlp_init
 from miso_tpu.ops.pooling import grid_pool_avg
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EncoderObservation:
     """Raw SDF observations for encoding (encoder.py:15-22)."""
@@ -174,6 +175,14 @@ def predict_corrections_until_level(enc_params: Sequence, grid: GridNet,
     return corrections
 
 
+# Jitted entry for host-side one-shot initialization: eager per-op
+# dispatch costs ~20 ms/op through remote-device transports, turning the
+# millisecond-scale conv prediction into a minute-scale one.
+_jit_predict_corrections = jax.jit(
+    predict_corrections_until_level,
+    static_argnames=("stop_level", "trunc_dist", "pred_std"))
+
+
 class Encoder:
     """Host wrapper: per-level pretrained FeaturePrediction params +
     registered grids (encoder.py:24-109 API)."""
@@ -209,8 +218,10 @@ class Encoder:
                             key=None):
         grid = self.grids[model_id]
         stop = stop_level if stop_level is not None else grid.num_levels
-        return predict_corrections_until_level(
-            self.level_params, grid, obs, stop, self.trunc_dist, pred_std, key)
+        return _jit_predict_corrections(self.level_params, grid, obs,
+                                        stop_level=stop,
+                                        trunc_dist=self.trunc_dist,
+                                        pred_std=pred_std, key=key)
 
     def save(self, out_dir: str):
         import os
