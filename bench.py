@@ -6,7 +6,11 @@ cells 0.5 m / 0.1 m over a ~10x9x3 m bound, 64x1 MLP decoder) running
 the FULL mapping optimization step: multi-level trilinear interpolation
 + decode, L1 SDF + free-space losses, gradients wrt grids+decoder, and
 the masked-Adam update -- i.e. what the reference spends its time on in
-`grid_opt/trainer.py:196-219`.
+`grid_opt/trainer.py:196-219`.  float32 feature storage (the default);
+grid.feature_dtype=bfloat16 trains to the same SDF MAE and gives ~2.5x
+on query-only paths (meshing/eval/tracking forward), but the full train
+step is dominated by the scatter-add backward + Adam update, where bf16
+measured neutral on-chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 

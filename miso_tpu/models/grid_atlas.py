@@ -325,16 +325,22 @@ class GridAtlas:
                 max(sh[level][k] for sh in self._submap_shapes) for k in range(d)))
         old = self.params
 
+        name = self.cfg_model["grid"].get("feature_dtype", "float32")
+        if name == "bfloat16":
+            import ml_dtypes
+            feat_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            feat_dtype = np.dtype(name)
         features, stability, sizes = [], [], []
         for level in range(L):
-            f = np.zeros((S, *pad_shapes[level], fdim), np.float32)
-            st = np.zeros((S, *pad_shapes[level], 1), np.float32)
+            f = np.zeros((S, *pad_shapes[level], fdim), feat_dtype)
+            st = np.zeros((S, *pad_shapes[level], 1), feat_dtype)
             sz = np.zeros((S, d), np.int32)
             for s in range(S):
                 sz[s] = self._submap_shapes[s][level]
             if old is not None:
-                of = np.asarray(old.features[level])
-                ost = np.asarray(old.stability[level])
+                of = np.asarray(old.features[level]).astype(feat_dtype)
+                ost = np.asarray(old.stability[level]).astype(feat_dtype)
                 sl = (slice(0, of.shape[0]),) + tuple(slice(0, n) for n in of.shape[1:])
                 f[sl] = of
                 st[(slice(0, ost.shape[0]),) + tuple(slice(0, n) for n in ost.shape[1:])] = ost

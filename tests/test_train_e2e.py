@@ -106,3 +106,46 @@ def test_trainer_masks_freeze_params(sphere):
     np.testing.assert_array_equal(np.asarray(out.features[1]), before_l1)
     np.testing.assert_array_equal(np.asarray(out.decoder[0][0]), before_dec)
     assert np.abs(np.asarray(out.features[0]) - before_l0).max() > 0
+
+
+def test_bf16_features():
+    """bfloat16 feature storage (grid.feature_dtype) trains to the same
+    quality as float32 -- the TPU bench relies on this equivalence."""
+    import jax.numpy as jnp
+
+    from miso_tpu.datasets.sdf_3d import Sdf3D
+    from miso_tpu.datasets.shapes import icosphere
+    from miso_tpu.losses.miso import make_loss
+    from miso_tpu.losses.sdf import tsdf_loss_3d
+    from miso_tpu.models.grid_net import create_grid_net
+    from miso_tpu.native import TriangleMesh
+    from miso_tpu.train.trainer import GridTrainer
+
+    mesh = TriangleMesh(*icosphere(3, 0.6))
+    ds = Sdf3D(mesh, batch_size=2**12, total_samples=2**15,
+               surface_stddev=0.05, bound_buffer=0.4, trunc_dist=0.2)
+    cfg = {
+        "spatial_dim": 3,
+        "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
+                 "feature_dtype": "bfloat16", "bound": ds.bound.tolist(),
+                 "base_cell_size": 0.5, "per_level_scale": 2.0, "n_levels": 2},
+        "decoder": {"type": "mlp", "hidden_dim": 32, "hidden_layers": 1,
+                    "out_dim": 1, "pos_invariant": True, "fix": False,
+                    "pretrained_model": None},
+        "pose": {"optimize": False, "num_poses": 1},
+    }
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    assert model.features[0].dtype == jnp.bfloat16
+    loss_fn = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                        eik_weight=0.0, trunc_dist=0.2)
+    tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
+                      "epochs": 150, "max_epochs_in_level": 50,
+                      "grid_training_mode": "coordinate+joint"},
+                     model, loss_fn, ds)
+    model = tr.train()
+    b = ds.sample(np.random.default_rng(3))
+    pred = np.asarray(model(jnp.asarray(b["coords"])).astype(jnp.float32)).reshape(-1)
+    gt = np.asarray(b["sdf"]).reshape(-1)
+    valid = np.asarray(b["sdf_valid"]).reshape(-1) > 0
+    mae = np.abs(pred - gt)[valid].mean()
+    assert mae < 0.03, mae
