@@ -137,3 +137,100 @@ def test_atlas_mask_shapes():
     assert float(mask.sub_rot_corr[0, 0]) == 0.0  # anchored
     assert float(mask.sub_rot_corr[1, 0]) == 1.0
     assert float(jnp.asarray(mask.features[0])) == 0.0
+
+
+def test_trained_submap_alignment_end_to_end():
+    """The full MISO pipeline on trained submaps: two overlapping grids
+    trained to convergence on local GT-SDF samples with a shared frozen
+    decoder, perturbed, then hierarchically aligned (latent + sdf).
+    CPU-sized version of demo/align_submaps.py's verified recipe."""
+    import jax
+    import jax.numpy as jnp
+
+    from miso_tpu.align.miso import align_multiple_submaps_hierarchical
+    from miso_tpu.datasets.sdf_3d import Sdf3D
+    from miso_tpu.datasets.shapes import box, icosphere, merge_meshes, room_scene
+    from miso_tpu.losses.miso import make_loss
+    from miso_tpu.losses.sdf import tsdf_loss_3d
+    from miso_tpu.models.grid_atlas import GridAtlas
+    from miso_tpu.models.grid_net import create_grid_net
+    from miso_tpu.native import TriangleMesh
+    from miso_tpu.ops import se3
+    from miso_tpu.train.trainer import GridTrainer
+
+    verts, tris = merge_meshes(
+        room_scene(5.0, seed=0),
+        box(size=(0.8, 0.6, 1.0), center=(0.0, 0.7, -0.4)),
+        icosphere(2, 0.4, center=(0.2, -0.9, 0.0)))
+    mesh = TriangleMesh(verts, tris)
+    centers = [np.array([-1.2, 0, 0], np.float32), np.array([1.2, 0, 0], np.float32)]
+    bound_local = np.array([[-2.4, 2.4], [-2.4, 2.4], [-1.6, 1.6]], np.float32)
+    cfg_model = {
+        "spatial_dim": 3,
+        "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
+                 "bound": bound_local.tolist(), "base_cell_size": 0.8,
+                 "per_level_scale": 4.0, "n_levels": 2},
+        "decoder": {"type": "mlp", "hidden_dim": 32, "hidden_layers": 1,
+                    "out_dim": 1, "pos_invariant": True, "fix": False,
+                    "pretrained_model": None},
+        "pose": {"optimize": True, "num_poses": 1},
+    }
+    loss_fn = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                        eik_weight=0.0, trunc_dist=0.3)
+    ds_all = Sdf3D(mesh, batch_size=2**12, total_samples=2**15, trunc_dist=0.3)
+    pre = create_grid_net(jax.random.PRNGKey(11),
+                          dict(cfg_model, grid=dict(cfg_model["grid"],
+                                                    bound=ds_all.bound.tolist())))
+    dec = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
+                       "epochs": 150, "max_epochs_in_level": 50,
+                       "grid_training_mode": "coordinate+joint"},
+                      pre, loss_fn, ds_all).train().decoder
+    cfg_model["decoder"]["fix"] = True
+    atlas = GridAtlas(cfg_model, max_kfs_per_submap=1)
+    for c in centers:
+        atlas.add_submap(bound_local, np.eye(3, dtype=np.float32), c)
+        atlas.add_kf()
+    atlas.params = atlas.params.replace(decoder=dec)
+
+    class LocalSdf:
+        def __init__(self, center):
+            self.center = center
+
+        def sample(self, rng):
+            b = ds_all.sample(rng)
+            c = b["coords"] - self.center
+            inside = np.all((c >= bound_local[:, 0]) & (c <= bound_local[:, 1]),
+                            axis=1, keepdims=True)
+            return {"coords": c.astype(np.float32), "sdf": b["sdf"],
+                    "sdf_valid": b["sdf_valid"] * inside,
+                    "sdf_signs": b["sdf_signs"] * inside}
+
+    for s, c in enumerate(centers):
+        g = atlas.get_submap(s).replace(decoder=dec, decoder_fixed=True)
+        tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
+                          "epochs": 150, "max_epochs_in_level": 50,
+                          "grid_training_mode": "coordinate+joint"},
+                         g, loss_fn, LocalSdf(c))
+        atlas.set_submap(s, tr.train())
+
+    # Perturb submap 1 and align.
+    dr = np.array([0.0, 0.0, np.radians(3.0)], np.float32)
+    dt = np.array([0.10, -0.06, 0.02], np.float32)
+    atlas.set_submap_pose_correction(1, dr, dt)
+    R_gt = np.eye(3, dtype=np.float32)
+
+    def errors():
+        R, t = atlas.params.updated_submap_poses()
+        rot = float(se3.rotation_rmse_deg(jnp.asarray(R[1:]),
+                                          jnp.asarray(R_gt)[None]))
+        tr_ = float(np.linalg.norm(np.asarray(t[1]) - centers[1]))
+        return rot, tr_
+
+    rot0, tr0 = errors()
+    align_multiple_submaps_hierarchical(
+        atlas, level_iters=100, finetune_iters=100, lr=5e-3,
+        align_loss="L2", latent_levels=[0, 1], skip_finetune=False,
+        verbose=False, seed=0)
+    rot1, tr1 = errors()
+    assert rot1 < 0.5 * rot0, (rot0, rot1)
+    assert tr1 < 0.5 * tr0, (tr0, tr1)
