@@ -57,6 +57,11 @@ def main():
                    help="ICP-align the mesh to GT before metrics "
                         "(for real data whose GT mesh is in another frame)")
     p.add_argument("--stability_mesh_thresh", type=float, default=0.2)
+    p.add_argument("--final_iters", type=int, default=200,
+                   help="post-run global mapping refinement over ALL "
+                        "keyframes (poses locked), like the reference's "
+                        "300-iteration per-submap pass "
+                        "(build_submaps.py:76-91); 0 disables")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -138,6 +143,15 @@ def main():
                     R_world_origin=R0, t_world_origin=t0)
     system.run()
     slam_time = time.time() - t_start
+
+    if args.final_iters > 0:
+        # Global refinement: one mapping burst over the whole KF set
+        # with the settled trajectory (features only).
+        all_kfs = list(range(dataset.num_kfs))
+        system.mapper.mapping(all_kfs, iterations=args.final_iters,
+                              level_iterations=max(args.final_iters // 3, 1))
+        system.tracker.grid = system.mapper.grid
+        system._sync_submap_from_tracker_mapper()
 
     # Trajectory eval (full_slam_scannet.py:120-159).
     Rk, tk = atlas.params.updated_kf_poses_in_world()
