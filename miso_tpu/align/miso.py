@@ -59,7 +59,8 @@ def pairwise_loss_latent(params: GridAtlasParams, atlas: GridAtlas,
     sub_to = params.submap(s=dst, shapes=atlas.submap_shapes(dst))
     if subsample_points is not None and key is not None:
         idx = jax.random.choice(key, coords_from.shape[0],
-                                (min(subsample_points, coords_from.shape[0]),))
+                                (min(subsample_points, coords_from.shape[0]),),
+                                replace=False)
         coords_from = coords_from[idx]
         valid_from = valid_from[idx]
     coords_to = _pair_points(params, coords_from, src, dst)
@@ -109,7 +110,8 @@ def pairwise_loss_sdf(params: GridAtlasParams, atlas: GridAtlas,
     sub_to = params.submap(s=dst, shapes=atlas.submap_shapes(dst))
     if subsample_points is not None and key is not None:
         idx = jax.random.choice(key, coords_from.shape[0],
-                                (min(subsample_points, coords_from.shape[0]),))
+                                (min(subsample_points, coords_from.shape[0]),),
+                                replace=False)
         coords_from = coords_from[idx]
         valid_from = valid_from[idx]
     coords_to = _pair_points(params, coords_from, src, dst)

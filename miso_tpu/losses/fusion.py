@@ -85,10 +85,11 @@ def posed_sdf_loss_3d_submap(params, batch, key, mode="submap",
         coords_submap = jnp.einsum("nij,nj->ni", Rp, batch["coords_frame"],
                                    precision=jax.lax.Precision.HIGHEST) + tp
         for s in range(params.num_submaps):
-            sub = params.submap(s)
             sel = (sub_of_point == s).astype(gt_sdf.dtype)[:, None]  # (N, 1)
             count = jnp.maximum(jnp.sum(sel), 1.0)
-            pred = sub(coords_submap)
+            # Size-aware query: padded storage rows must not read as
+            # real features when submap bounds differ.
+            pred = params.forward_submap(s, coords_submap)
             c = jnp.where(valid == 1, pred - gt_sdf, 0.0) * sel
             sdf_loss = (jnp.sum(c**2) if loss_type == "L2"
                         else jnp.sum(jnp.abs(c))) / count

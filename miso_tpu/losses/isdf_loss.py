@@ -129,16 +129,16 @@ def isdf_loss_submap(params, batch, key, trunc_dist=0.15, sdf_weight=1.0,
                                precision=jax.lax.Precision.HIGHEST) + tp
     out = {}
     for s in range(params.num_submaps):
-        sub = params.submap(s)
         sel = (sub_of_point == s).astype(bounds.dtype)[:, None]
         count = jnp.maximum(jnp.sum(sel), 1.0)
-        pred = sub(coords_submap)
+        # Size-aware query (padded storage, differing submap bounds).
+        pred = params.forward_submap(s, coords_submap)
         mat, free = isdf_sdf_loss_mat(pred, bounds, trunc_dist, loss_type,
                                       free_space_factor)
         mat = jnp.where(free, mat, mat * trunc_weight)
         out[f"submap{s}_sdf"] = sdf_weight * jnp.sum(mat * sel) / count
         if stability_weight > 0:
-            mu = sub.query_stability(coords_submap)
+            mu = params.query_stability_submap(s, coords_submap)
             c = (mu - 1.0) * sel
             out[f"submap{s}_stability"] = stability_weight * jnp.sum(c**2) / count
         if pose_reg_weight > 0:

@@ -165,9 +165,34 @@ class GridAtlasParams(struct.PyTreeNode):
         decoder = self.decoder
         if decoder is not None and self.decoder_fixed:
             decoder = jax.lax.stop_gradient(decoder)
-        return interp.grid_decode(feats, x_world, decoder, True)
+        return interp.grid_decode(feats, x_world, decoder, self.pos_invariant)
 
     forward = __call__
+
+    # -- size-aware single-submap queries -----------------------------------
+    # Feature storage is padded to the max grid shape per level; these
+    # interpolate slot s with its *logical* sizes so padded rows never
+    # read as real features (cf. the reference's per-submap GridNets,
+    # grid_atlas.py:374-399).  Used by the per-submap losses
+    # (losses/fusion.py, losses/isdf_loss.py).
+    def query_feature_submap(self, s, x_submap: jnp.ndarray) -> jnp.ndarray:
+        feats = tuple(f[s] for f in self.features)
+        sizes = tuple(sz[s] for sz in self.sizes)
+        return _interp_levels_sized(feats, x_submap, self.bounds[s], sizes,
+                                    self.ignore_level)
+
+    def query_stability_submap(self, s, x_submap: jnp.ndarray) -> jnp.ndarray:
+        stabs = tuple(st[s] for st in self.stability)
+        sizes = tuple(sz[s] for sz in self.sizes)
+        return _interp_levels_sized(stabs, x_submap, self.bounds[s], sizes, None)
+
+    def forward_submap(self, s, x_submap: jnp.ndarray) -> jnp.ndarray:
+        """Decode submap s's field at submap-frame coords."""
+        feats = self.query_feature_submap(s, x_submap)
+        decoder = self.decoder
+        if decoder is not None and self.decoder_fixed:
+            decoder = jax.lax.stop_gradient(decoder)
+        return interp.grid_decode(feats, x_submap, decoder, self.pos_invariant)
 
     # -- submap views ------------------------------------------------------
     def submap(self, s: int, shapes: Optional[Sequence[Tuple[int, ...]]] = None,

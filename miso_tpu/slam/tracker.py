@@ -101,6 +101,11 @@ class Tracker:
         self.initial_fov_overlap = 1.0
         self._warned_overlap = False
         self._rng = np.random.default_rng(c.get("seed", 0))
+        # Built once: the trainer's step cache is keyed on loss-fn
+        # identity, so a per-call closure would recompile every frame.
+        self._tracking_loss_fn = make_loss(
+            tracking_loss, weight_sdf=1.0, loss_type=self.loss_type,
+            trunc_dist=self.trunc_dist, gm_scale_sdf=self.gm_scale_sdf)
 
     # -- odometry propagation (tracker.py:65-79) ---------------------------
     def initialize_window(self, head_kf: int, tail_kf: int):
@@ -180,12 +185,10 @@ class Tracker:
         mask = grid_net_mask(self.grid, features=False, stability=False,
                              decoder=False, pose=True,
                              pose_rows=jnp.asarray(rows))
-        loss_fn = make_loss(tracking_loss, weight_sdf=1.0,
-                            loss_type=self.loss_type, trunc_dist=self.trunc_dist,
-                            gm_scale_sdf=self.gm_scale_sdf)
         cfg_train = {"verbose": self.verbose, "optimizer": "adam",
                      "learning_rate": self.lr, "epochs": iterations}
-        trainer = Trainer(cfg_train, self.grid, loss_fn, self.dataset, mask=mask)
+        trainer = Trainer(cfg_train, self.grid, self._tracking_loss_fn,
+                          self.dataset, mask=mask)
         self.grid = trainer.train()
         # FOV overlap for submap spawning decisions.
         batch = self.dataset.sample(self._rng)

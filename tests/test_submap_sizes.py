@@ -1,0 +1,113 @@
+"""Regression: per-submap losses must respect logical grid sizes.
+
+GridAtlas pads feature storage to the max grid shape per level (submaps
+may have different bounds, e.g. ScanNet precomputed submaps).  The
+per-submap losses interpolate slot s with its logical sizes; reading the
+padded array as if it spanned the submap bound gives a wrong cell size.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miso_tpu.losses.fusion import posed_sdf_loss_3d_submap
+from miso_tpu.losses.isdf_loss import isdf_loss_submap
+from miso_tpu.models.grid_atlas import GridAtlas
+
+pytestmark = pytest.mark.fast
+
+CFG = {
+    "spatial_dim": 3,
+    "grid": {"type": "regular", "feature_dim": 2, "init_stddev": 1e-3,
+             "bound": [[-1, 1], [-1, 1], [-1, 1]],
+             "base_cell_size": 0.5, "per_level_scale": 2.0, "n_levels": 2},
+    "decoder": {"type": "mlp", "hidden_dim": 16, "hidden_layers": 1,
+                "out_dim": 1, "pos_invariant": True, "fix": False,
+                "pretrained_model": None},
+    "pose": {"optimize": True, "num_poses": 2},
+}
+
+
+def _mixed_bounds_atlas(rng):
+    """Two submaps with DIFFERENT bounds -> padded feature storage."""
+    atlas = GridAtlas(CFG, max_kfs_per_submap=2)
+    atlas.add_submap(np.array([[-2, 2], [-2, 2], [-2, 2]], np.float32))
+    atlas.add_kf()
+    atlas.add_kf()
+    atlas.add_submap(np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32),
+                     tws=np.array([1.0, 0, 0], np.float32))
+    atlas.add_kf()
+    atlas.add_kf()
+    # Random features so a mis-sized interpolation actually differs.
+    p = atlas.params
+    feats = []
+    for level, f in enumerate(p.features):
+        feats.append(jnp.asarray(
+            rng.normal(0, 1, f.shape).astype(np.float32)))
+    atlas.params = p.replace(features=tuple(feats))
+    return atlas
+
+
+def test_forward_submap_matches_unpadded_gridnet(rng):
+    atlas = _mixed_bounds_atlas(rng)
+    p = atlas.params
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
+    for s in range(2):
+        ref = atlas.get_submap(s)(x)       # strips padding via shapes
+        got = p.forward_submap(s, x)       # size-aware padded query
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def _batch(rng, n_kf_total=4, N=256):
+    return {
+        "coords_frame": jnp.asarray(
+            rng.uniform(-0.8, 0.8, (N, 3)).astype(np.float32)),
+        "sample_frame_ids": jnp.asarray(
+            rng.integers(0, n_kf_total, (N,)).astype(np.int32)),
+        "weights": jnp.ones((N, 1), jnp.float32),
+        "sdf": jnp.asarray(rng.uniform(-0.2, 0.2, (N, 1)).astype(np.float32)),
+        "sdf_valid": jnp.ones((N, 1), jnp.float32),
+        "sdf_signs": jnp.zeros((N, 1), jnp.float32),
+    }
+
+
+def _manual_submap_sdf_loss(atlas, batch, loss_type="L2"):
+    """Per-submap SDF loss via correctly-shaped GridNet views."""
+    p = atlas.params
+    ids = batch["sample_frame_ids"].reshape(-1).astype(jnp.int32)
+    sub_of_point = p.kf_to_submap[ids]
+    R_sk, t_sk = p.updated_kf_poses_in_submap()
+    loc = p.kf_to_local[ids]
+    Rp, tp = R_sk[sub_of_point, loc], t_sk[sub_of_point, loc]
+    coords = jnp.einsum("nij,nj->ni", Rp, batch["coords_frame"],
+                        precision=jax.lax.Precision.HIGHEST) + tp
+    out = {}
+    for s in range(atlas.num_submaps):
+        grid = atlas.get_submap(s)
+        sel = (sub_of_point == s).astype(jnp.float32)[:, None]
+        count = jnp.maximum(jnp.sum(sel), 1.0)
+        c = jnp.where(batch["sdf_valid"] == 1, grid(coords) - batch["sdf"], 0.0) * sel
+        out[s] = float(jnp.sum(c**2) / count)
+    return out
+
+
+def test_posed_sdf_submap_loss_uses_logical_sizes(rng):
+    atlas = _mixed_bounds_atlas(rng)
+    batch = _batch(rng)
+    got = posed_sdf_loss_3d_submap(atlas.params, batch, jax.random.PRNGKey(0),
+                                   mode="submap", sdf_weight=1.0,
+                                   sign_weight=0.0, loss_type="L2")
+    want = _manual_submap_sdf_loss(atlas, batch)
+    for s in range(2):
+        np.testing.assert_allclose(float(got[f"{s}_sdf"]), want[s],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_isdf_submap_loss_finite_on_mixed_bounds(rng):
+    atlas = _mixed_bounds_atlas(rng)
+    batch = _batch(rng)
+    out = isdf_loss_submap(atlas.params, batch, jax.random.PRNGKey(0),
+                           stability_weight=0.1)
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k
