@@ -203,15 +203,16 @@ def main():
             obs[s] = (jnp.asarray(c), jnp.asarray(g), jnp.asarray(v))
 
         fn = pairwise_loss_vfpp if args.method == "vfpp" else pairwise_loss_mips
-        def pair_loss(params, s, d, key):
-            c, g, v = obs[s]
+        def pair_loss(params, s, d, key, ctx):
+            c, g, v = ctx[s]
             kw = {"trunc_dist": 0.3} if args.method == "vfpp" else                 {"surf_tol": 0.02}
             return fn(params, atlas, s, d, c, g, v, key=key,
                       subsample_points=4096, **kw)
 
         align_info = generic_align_multiple_submaps(
             atlas, pair_loss, num_iters=args.iters, lr=args.lr,
-            seed=args.seed, save_iterations=args.save_animation)
+            seed=args.seed, save_iterations=args.save_animation,
+            loss_ctx=obs)
     elif args.method == "icp":
         from miso_tpu.align.baselines import align_multiple_submaps_icp
 

@@ -136,7 +136,7 @@ def _pose_graph_optimize(n: int, edges: List[Tuple[int, int, np.ndarray]],
     edge_T = jnp.asarray(np.stack([e[2] for e in edges]))
     edge_ij = np.asarray([(e[0], e[1]) for e in edges], np.int32)
 
-    def residual(dr, dt):
+    def residual(dr, dt, R0, t0, edge_T):
         R = jnp.matmul(R0, se3.so3_exp(dr), precision=jax.lax.Precision.HIGHEST)
         t = t0 + dt
         res = 0.0
@@ -158,14 +158,17 @@ def _pose_graph_optimize(n: int, edges: List[Tuple[int, int, np.ndarray]],
     row = jnp.ones((n, 1)).at[0].set(0.0)
     mask = (row, row)
 
+    # All device data as jit ARGS (closure constants hit the axon slow
+    # dispatch path; see ops/interp.py notes).
     @jax.jit
-    def step(params, opt):
-        loss, grads = jax.value_and_grad(lambda p: residual(*p))(params)
-        new_p, new_o = masked_adam_update(grads, opt, params, mask, lr=1e-2)
+    def step(params, opt, R0_, t0_, edge_T_, mask_):
+        loss, grads = jax.value_and_grad(
+            lambda p: residual(p[0], p[1], R0_, t0_, edge_T_))(params)
+        new_p, new_o = masked_adam_update(grads, opt, params, mask_, lr=1e-2)
         return new_p, new_o, loss
 
     for _ in range(iters):
-        params, opt, loss = step(params, opt)
+        params, opt, loss = step(params, opt, R0, t0, edge_T, mask)
     R = np.asarray(jnp.matmul(R0, se3.so3_exp(params[0]),
                               precision=jax.lax.Precision.HIGHEST))
     t = np.asarray(t0 + params[1])

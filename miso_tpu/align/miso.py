@@ -150,14 +150,20 @@ def atlas_pose_trust_region_loss(params: GridAtlasParams, thresh_rad,
 
 def generic_align_multiple_submaps(
         atlas: GridAtlas,
-        pair_loss_fn: Callable,          # (params, src, dst, key) -> dict
+        pair_loss_fn: Callable,          # (params, src, dst, key[, ctx]) -> dict
         num_iters=10, lr=1e-2, rel_change_thresh=0.0,
         submap_pairs: Optional[Sequence[Tuple[int, int]]] = None,
         check_intersection=True, pose_reg_weight=0.0,
         pose_thresh_rad=1.0, pose_thresh_m=1.0, verbose=False,
-        save_iterations=False, seed=0):
+        save_iterations=False, seed=0, loss_ctx=None):
     """Adam over all submap poses, submap 0 anchored
-    (reference align/base.py:89-163)."""
+    (reference align/base.py:89-163).
+
+    ``loss_ctx``: optional pytree of device data (e.g. per-submap
+    alignment coords) threaded through the jitted step as an ARGUMENT
+    and passed to ``pair_loss_fn`` as a 5th parameter.  Device arrays
+    must never be baked into the step as closure constants (~100x slow
+    dispatch path on the axon tunnel)."""
     params = atlas.params
     if submap_pairs is None:
         submap_pairs = [(i, j) for i in range(atlas.num_submaps)
@@ -165,22 +171,26 @@ def generic_align_multiple_submaps(
     if check_intersection:
         submap_pairs = [(i, j) for (i, j) in submap_pairs
                         if atlas.check_submap_intersection(i, j)]
-    # Optimize over the small pose-only pytree; grids stay closure
-    # constants and are never rewritten (the reference re-steps the
-    # whole model through torch Adam each iteration).
+    # Optimize over the small pose-only pytree.  The full atlas params
+    # flow through the jit as an ARGUMENT (never a closure constant:
+    # executables with embedded device arrays hit a ~100x slow dispatch
+    # path on the axon tunnel; see ops/interp.py notes).
     pose0 = (params.sub_rot_corr, params.sub_trans_corr)
     S = atlas.num_submaps
     row_mask = jnp.ones((S, 1), jnp.float32).at[0].set(0.0)  # submap 0 anchored
     pose_mask = (row_mask, row_mask)
     opt_state = masked_adam_init(pose0)
 
-    def step(pose, opt_state, key):
+    def step(pose, opt_state, full_params, ctx, mask_, key):
         def objective(pose):
-            p = params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
+            p = full_params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
             loss_dict = {}
             keys = jax.random.split(key, max(len(submap_pairs), 1))
             for k, (s, d) in enumerate(submap_pairs):
-                loss_dict.update(pair_loss_fn(p, s, d, keys[k]))
+                if ctx is not None:
+                    loss_dict.update(pair_loss_fn(p, s, d, keys[k], ctx))
+                else:
+                    loss_dict.update(pair_loss_fn(p, s, d, keys[k]))
             if pose_reg_weight > 0:
                 loss_dict.update(atlas_pose_trust_region_loss(
                     p, pose_thresh_rad, pose_thresh_m, pose_reg_weight))
@@ -190,7 +200,7 @@ def generic_align_multiple_submaps(
         (tl, loss_dict), grads = jax.value_and_grad(objective, has_aux=True)(pose)
         bad = jnp.logical_not(jnp.isfinite(tl))
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
-        eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), pose_mask)
+        eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
         new_pose, new_opt = masked_adam_update(grads, opt_state, pose, eff, lr=lr)
         return new_pose, new_opt, tl
 
@@ -210,7 +220,8 @@ def generic_align_multiple_submaps(
             T[:, :3, 3] = np.asarray(t)
             iteration_results[it] = T
         key, sub = jax.random.split(key)
-        pose, opt_state, tl = step(pose, opt_state, sub)
+        pose, opt_state, tl = step(pose, opt_state, params, loss_ctx,
+                                   pose_mask, sub)
         cur = (np.asarray(pose[0]), np.asarray(pose[1]))
         relchange = float(relative_param_change(cur, prev)) if prev is not None else np.inf
         prev = cur
@@ -245,8 +256,8 @@ def align_multiple_submaps_hierarchical(
         coords = {s: atlas.coordinates_for_alignment(s, level)
                   for s in range(atlas.num_submaps)}
 
-        def pair_loss(p, s, d, key, _level=level, _coords=coords):
-            cf, vf = _coords[s]
+        def pair_loss(p, s, d, key, ctx, _level=level):
+            cf, vf = ctx[s]
             return pairwise_loss_latent(
                 p, atlas, s, d, _level, cf, vf, align_weight, align_loss,
                 use_bound, stability_thresh, None, key, subsample_points)
@@ -256,7 +267,8 @@ def align_multiple_submaps_hierarchical(
             rel_change_thresh=level_thresh, lr=lr, submap_pairs=submap_pairs,
             pose_reg_weight=pose_reg_weight, pose_thresh_rad=pose_thresh_rad,
             pose_thresh_m=pose_thresh_m, verbose=verbose,
-            save_iterations=save_iterations, seed=seed + level)
+            save_iterations=save_iterations, seed=seed + level,
+            loss_ctx=coords)
         cpu_total += level_info["cpu_time_sec"]
         info[f"hier_latent_level{level}_{align_loss}"] = level_info
     if not skip_finetune:
@@ -265,8 +277,8 @@ def align_multiple_submaps_hierarchical(
         coords = {s: atlas.coordinates_for_alignment(s, finest)
                   for s in range(atlas.num_submaps)}
 
-        def pair_loss_sdf(p, s, d, key, _coords=coords):
-            cf, vf = _coords[s]
+        def pair_loss_sdf(p, s, d, key, ctx):
+            cf, vf = ctx[s]
             return pairwise_loss_sdf(
                 p, atlas, s, d, cf, vf, align_weight, sdf_align_loss,
                 use_bound, stability_thresh, gm_scale_sdf, key, subsample_points)
@@ -275,7 +287,8 @@ def align_multiple_submaps_hierarchical(
             atlas, pair_loss_sdf, num_iters=finetune_iters, lr=lr,
             submap_pairs=submap_pairs, pose_reg_weight=pose_reg_weight,
             pose_thresh_rad=pose_thresh_rad, pose_thresh_m=pose_thresh_m,
-            verbose=verbose, save_iterations=save_iterations, seed=seed + 101)
+            verbose=verbose, save_iterations=save_iterations, seed=seed + 101,
+            loss_ctx=coords)
         cpu_total += fin["cpu_time_sec"]
         info[f"hier_sdf_{sdf_align_loss}"] = fin
     info["cpu_time_sec"] = cpu_total

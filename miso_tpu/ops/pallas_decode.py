@@ -1,33 +1,52 @@
-"""Pallas TPU kernel: fused multi-level feature decode MLP.
+"""Pallas TPU kernels: fused multi-level interp(lerp)+concat+decode.
 
-The decoder is Linear(F, H) -> ReLU -> Linear(H, H) -> ... ->
-Linear(H, out) over up to 1e6 points per step (scannet.yaml:88).  This
-kernel runs the whole stack in ONE pallas_call: point tiles stream
-through VMEM, weights stay resident, hidden activations never touch
-HBM, matmuls hit the MXU with fp32 accumulation.  A custom VJP computes
-dX and per-tile dW/db partials with the same structure (backward is
-itself jittable/differentiable composition of matmuls, so higher-order
-training losses still work through the jnp fallback path).
+TPU-native parity slot for the reference's one native component, the
+CUDA double-backward grid_sample extension
+(`third_party/cuda_gridsample_grad2/gridsample_cuda.cu:214`, SURVEY.md
+section 2.9).  Two kernels:
 
-This is an optional fast path (models.grid_net.GridNet uses the jnp
-decode by default): on v5e XLA already lowers the small-K matmul chain
-well (the measured full mapping step runs ~200 us / 1e6 points), so the
-kernel exists for (a) parity with the reference's "fused native kernel"
-slot (SURVEY.md section 2.9) and (b) larger decoders where the HBM round trip
-of hidden activations matters.  Parity (values + custom-VJP gradients)
-is enforced by tests/test_pallas_decode.py in interpreter mode.
+  * :func:`fused_interp_decode` -- the full hot path after the corner
+    gather: per-corner weighted reduction (the trilinear lerp), level
+    concat, and the decoder MLP run in ONE ``pallas_call`` per point
+    tile.  Hidden activations and per-level features never touch HBM.
+  * :func:`pallas_decode` -- decode-only variant (drop-in for
+    ops.mlp.mlp_apply).
 
-Environment note: the current axon TPU tunnel compiles all programs via
-a remote service (local AOT is rejected with a libtpu version
-mismatch); Mosaic kernel compilation through that service hangs, so the
-kernel cannot currently be exercised on the real chip here.  It is kept
-ready for environments with direct Mosaic support.
+Division of labor (deliberate, measured): the 8-corner *gather* itself
+and the backward *scatter-add* stay in XLA.  Mosaic's gather support is
+a per-lane ``tpu.dynamic_gather`` whose indices must match the table
+shape -- it cannot express N-point corner gathers from a (G, F) grid --
+while XLA lowers both to native HBM gather/scatter that run at memory
+bandwidth.  A roofline check on the v5e confirms the XLA path is
+gather-bound at ~HBM speed already (bench.py measures ~3-4.6e9 pts/s
+full train step; ~256 B/pt of corner traffic ~= 819 GB/s HBM), so the
+kernel's value is removing the elementwise/matmul HBM round trips
+between gather and decode, not replacing the gather.
+
+Measured A/B on the v5e (full ScanNet-scale mapping train step, 1e6
+points, GridNet decode_impl flag): XLA 0.22 ms/step (4.6 Gpts/s) vs
+Pallas 713 ms/step -- the (C, N, F) -> (C*F, N) transposes feeding the
+kernel dominate.  The XLA path therefore stays the default
+(decode_impl='xla'); this kernel is the reference-parity slot for the
+CUDA extension (structure + differentiability proven by
+tests/test_pallas_decode.py incl. second-order) and the starting point
+for environments where the fusion matters (bigger decoders / fdim).
+
+Everything is computed TRANSPOSED -- points on the 128-wide lane axis,
+channels on sublanes -- so the tiny feature dims (F=4, hidden 64) don't
+waste lanes.
+
+Differentiation: a ``jax.custom_vjp`` whose backward is plain jnp
+(matmul-dominated, runs once per step under XLA) and therefore itself
+arbitrarily differentiable -- eikonal/smoothness losses that
+differentiate through interpolation gradients compose (the reference
+needed an 850-line CUDA kernel for exactly this, cf. naive_gridsample
+test strategy test3d.py:17-221).
 """
 from __future__ import annotations
 
 import functools
-import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,127 +66,272 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _pad_params(params):
-    """Pad every layer's dims to TPU-friendly multiples of 8/128 lanes.
+def _on_tpu():
+    return jax.default_backend() in ("tpu", "axon")
 
-    Returns (padded Ws, padded bs, logical dims).
+
+# ---------------------------------------------------------------------------
+# Decode-only kernel (transposed): x (N, F) -> MLP -> (N, out).
+# ---------------------------------------------------------------------------
+
+def _pad_params_T(params):
+    """Transpose weights to (out, in) and pad rows to sublane multiples.
+
+    The lane axis carries points, so weight dims only need 8-sublane
+    alignment (f32), not 128.
     """
     dims = [params[0][0].shape[0]] + [W.shape[1] for W, _ in params]
-    pdims = [_round_up(d, 128) for d in dims]
-    Ws, bs = [], []
+    pdims = [_round_up(d, 8) for d in dims]
+    WTs, bs = [], []
     for i, (W, b) in enumerate(params):
-        Wp = jnp.zeros((pdims[i], pdims[i + 1]), jnp.float32)
-        Wp = Wp.at[: W.shape[0], : W.shape[1]].set(W.astype(jnp.float32))
-        bp = jnp.zeros((pdims[i + 1],), jnp.float32)
+        Wp = jnp.zeros((pdims[i + 1], pdims[i]), jnp.float32)
+        Wp = Wp.at[: W.shape[1], : W.shape[0]].set(W.T.astype(jnp.float32))
+        bp = jnp.zeros((pdims[i + 1], 1), jnp.float32)
         if b is not None:
-            bp = bp.at[: b.shape[0]].set(b.astype(jnp.float32))
-        Ws.append(Wp)
+            bp = bp.at[: b.shape[0], 0].set(b.astype(jnp.float32))
+        WTs.append(Wp)
         bs.append(bp)
-    return Ws, bs, dims
+    return WTs, bs, dims
 
 
-def _fwd_kernel(n_layers):
+def _mlp_T(h, WTs, bs):
+    """Transposed MLP: h (K, N) -> (out, N); runs inside kernels and in
+    the jnp backward alike."""
+    n = len(WTs)
+    for i in range(n):
+        h = jnp.dot(WTs[i], h, preferred_element_type=jnp.float32) + bs[i]
+        if i < n - 1:
+            h = jnp.maximum(h, 0.0)
+    return h
+
+
+def _decode_kernel(n_layers):
     def kernel(x_ref, *refs):
-        w_refs = refs[:n_layers]
-        b_refs = refs[n_layers:2 * n_layers]
+        WTs = [refs[i][:] for i in range(n_layers)]
+        bs = [refs[n_layers + i][:] for i in range(n_layers)]
         out_ref = refs[2 * n_layers]
-        h = x_ref[:]
-        for i in range(n_layers):
-            h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
-            h = h + b_refs[i][:][None, :]
-            if i < n_layers - 1:
-                h = jnp.maximum(h, 0.0)
-        out_ref[:] = h
+        out_ref[:] = _mlp_T(x_ref[:], WTs, bs)
 
     return kernel
 
 
-_INTERPRET = False  # set True to run the kernel in interpreter mode
-
-
-def _forward_impl(x, Ws, bs):
-    n_layers = len(Ws)
-    N = x.shape[0]
-    Np = _round_up(max(N, TILE_N), TILE_N)
-    Fin = Ws[0].shape[0]
-    Fout = Ws[-1].shape[1]
-    xp = jnp.zeros((Np, Fin), jnp.float32)
-    xp = xp.at[:N, : x.shape[1]].set(x.astype(jnp.float32))
+def _decode_T_impl(xT, WTs, bs, interpret):
+    """xT: (Fin_pad, Np) transposed padded input -> (out_pad, Np)."""
+    n_layers = len(WTs)
+    Fin, Np = xT.shape
+    Fout = WTs[-1].shape[0]
     grid = (Np // TILE_N,)
-    in_specs = [pl.BlockSpec((TILE_N, Fin), lambda i: (i, 0),
+    in_specs = [pl.BlockSpec((Fin, TILE_N), lambda i: (0, i),
                              memory_space=pltpu.VMEM)]
-    for W in Ws:
+    for W in WTs:
         in_specs.append(pl.BlockSpec(W.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     for b in bs:
-        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,),
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    out = pl.pallas_call(
-        _fwd_kernel(n_layers),
-        out_shape=jax.ShapeDtypeStruct((Np, Fout), jnp.float32),
+    return pl.pallas_call(
+        _decode_kernel(n_layers),
+        out_shape=jax.ShapeDtypeStruct((Fout, Np), jnp.float32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TILE_N, Fout), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((Fout, TILE_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        interpret=_INTERPRET,
-    )(xp, *Ws, *bs)
-    return out[:N]
+        interpret=interpret,
+    )(xT, *WTs, *bs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _decode_padded(x, Ws, bs):
-    return _forward_impl(x, tuple(Ws), tuple(bs))
+# custom_jvp, not custom_vjp: the tangent is computed by jax.jvp of the
+# jnp mirror, so EVERY derivative order (VJP via transposition, grad of
+# grad for eikonal/smoothness/encoder losses) routes through ordinary
+# jnp ops that XLA fuses -- while the primal runs the Pallas kernel.
+# custom_vjp would cap differentiation at first order.
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3,))
+def _decode_padded(xT, WTs, bs, interpret):
+    return _decode_T_impl(xT, tuple(WTs), tuple(bs), interpret)
 
 
-def _decode_fwd(x, Ws, bs):
-    # Residuals: recompute activations in the backward (cheap for small
-    # H; avoids storing per-layer hiddens).
-    return _forward_impl(x, tuple(Ws), tuple(bs)), (x, tuple(Ws), tuple(bs))
+@_decode_padded.defjvp
+def _decode_jvp(interpret, primals, tangents):
+    xT, WTs, bs = primals
+    out = _decode_padded(xT, tuple(WTs), tuple(bs), interpret)
+    _, d_out = jax.jvp(lambda a, W, b: _mlp_T(a, W, b), primals, tangents)
+    return out, d_out
 
 
-def _decode_bwd(res, g):
-    x, Ws, bs = res
-    # Recompute hidden pre/post activations with jnp (the backward runs
-    # once per step; matmul-dominated so XLA handles it on the MXU).
-    Fin = Ws[0].shape[0]
-    h = jnp.zeros((x.shape[0], Fin), jnp.float32)
-    h = h.at[:, : x.shape[1]].set(x.astype(jnp.float32))
-    acts = [h]
-    pre = []
-    n = len(Ws)
-    for i in range(n):
-        z = jnp.dot(h, Ws[i], preferred_element_type=jnp.float32) + bs[i]
-        pre.append(z)
-        h = jnp.maximum(z, 0.0) if i < n - 1 else z
-        acts.append(h)
-    g = g.astype(jnp.float32)
-    dWs, dbs = [None] * n, [None] * n
-    for i in range(n - 1, -1, -1):
-        if i < n - 1:
-            g = g * (pre[i] > 0)
-        dWs[i] = jnp.dot(acts[i].T, g, preferred_element_type=jnp.float32)
-        dbs[i] = jnp.sum(g, axis=0)
-        g = jnp.dot(g, Ws[i].T, preferred_element_type=jnp.float32)
-    return g[:, : x.shape[1]].astype(x.dtype), tuple(dWs), tuple(dbs)
-
-
-_decode_padded.defvjp(_decode_fwd, _decode_bwd)
-
-
-def pallas_decode(params, x, force=False):
-    """Fused decode: drop-in for ops.mlp.mlp_apply on TPU.
+def pallas_decode(params, x, force=False, interpret: Optional[bool] = None):
+    """Fused decode: drop-in for ops.mlp.mlp_apply.
 
     params: tuple of (W (in, out), b or None); x: (N, F_in).
-    Falls back to the jnp MLP off-TPU (unless ``force``, which runs the
-    kernel in interpreter mode for testing) or if pallas is missing.
+    ``interpret`` runs the kernel in interpreter mode (explicit argument,
+    never latched globally); default = off-TPU when forced.
+    Falls back to the jnp MLP off-TPU unless ``force``.
     """
-    global _INTERPRET
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    if not _PALLAS_OK or (not on_tpu and not force):
+    if not _PALLAS_OK or (not _on_tpu() and not force):
         from miso_tpu.ops.mlp import mlp_apply
         return mlp_apply(params, x)
-    if not on_tpu:
-        _INTERPRET = True
-    Ws, bs, dims = _pad_params(params)
-    out = _decode_padded(x, tuple(Ws), tuple(bs))
-    return out[:, : dims[-1]].astype(x.dtype)
+    if interpret is None:
+        interpret = not _on_tpu()
+    WTs, bs, dims = _pad_params_T(params)
+    N = x.shape[0]
+    Np = _round_up(max(N, TILE_N), TILE_N)
+    xT = jnp.zeros((WTs[0].shape[1], Np), jnp.float32)
+    xT = xT.at[: x.shape[1], :N].set(x.T.astype(jnp.float32))
+    out = _decode_padded(xT, tuple(WTs), tuple(bs), interpret)
+    return out[: dims[-1], :N].T.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused lerp + concat + decode kernel.
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(n_levels, fdim, n_layers, lf_pad):
+    """cfT (C*F, TILE), wT (C, TILE) -> lerp per level, concat, MLP.
+
+    C = 8 * n_levels corners; rows of cfT are (corner, feature) pairs.
+    """
+    C = 8 * n_levels
+
+    def kernel(cf_ref, w_ref, *refs):
+        WTs = [refs[i][:] for i in range(n_layers)]
+        bs = [refs[n_layers + i][:] for i in range(n_layers)]
+        out_ref = refs[2 * n_layers]
+        accs = []
+        for level in range(n_levels):
+            acc = jnp.zeros((fdim, w_ref.shape[1]), jnp.float32)
+            for c in range(8):
+                ci = level * 8 + c
+                w_row = w_ref[ci, :][None, :]                 # (1, TILE)
+                acc = acc + w_row * cf_ref[ci * fdim:(ci + 1) * fdim, :]
+            accs.append(acc)
+        h = jnp.concatenate(accs, axis=0)                      # (L*F, TILE)
+        if lf_pad > n_levels * fdim:
+            h = jnp.concatenate(
+                [h, jnp.zeros((lf_pad - n_levels * fdim, h.shape[1]),
+                              jnp.float32)], axis=0)
+        out_ref[:] = _mlp_T(h, WTs, bs)
+
+    return kernel
+
+
+def _fused_impl(cfT, wT, WTs, bs, n_levels, fdim, interpret):
+    n_layers = len(WTs)
+    CF, Np = cfT.shape
+    C = 8 * n_levels
+    lf_pad = WTs[0].shape[1]
+    Fout = WTs[-1].shape[0]
+    grid = (Np // TILE_N,)
+    in_specs = [
+        pl.BlockSpec((CF, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    for W in WTs:
+        in_specs.append(pl.BlockSpec(W.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for b in bs:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        _fused_kernel(n_levels, fdim, n_layers, lf_pad),
+        out_shape=jax.ShapeDtypeStruct((Fout, Np), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Fout, TILE_N), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cfT, wT, *WTs, *bs)
+
+
+def _lerp_T(cfT, wT, n_levels, fdim, lf_pad):
+    """jnp mirror of the kernel's lerp (for the backward recompute)."""
+    accs = []
+    for level in range(n_levels):
+        acc = 0.0
+        for c in range(8):
+            ci = level * 8 + c
+            acc = acc + wT[ci][None, :] * cfT[ci * fdim:(ci + 1) * fdim]
+        accs.append(acc)
+    h = jnp.concatenate(accs, axis=0)
+    if lf_pad > n_levels * fdim:
+        h = jnp.concatenate(
+            [h, jnp.zeros((lf_pad - h.shape[0], h.shape[1]), jnp.float32)],
+            axis=0)
+    return h
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4, 5, 6))
+def _fused_padded(cfT, wT, WTs, bs, n_levels, fdim, interpret):
+    return _fused_impl(cfT, wT, tuple(WTs), tuple(bs), n_levels, fdim,
+                       interpret)
+
+
+@_fused_padded.defjvp
+def _fused_jvp(n_levels, fdim, interpret, primals, tangents):
+    cfT, wT, WTs, bs = primals
+    out = _fused_padded(cfT, wT, tuple(WTs), tuple(bs), n_levels, fdim,
+                        interpret)
+
+    def ref(cf, w, W, b):
+        lf_pad = W[0].shape[1]
+        return _mlp_T(_lerp_T(cf, w, n_levels, fdim, lf_pad), W, b)
+
+    _, d_out = jax.jvp(ref, primals, tangents)
+    return out, d_out
+
+
+def _corner_gather(grids, x, bound, sizes=None):
+    """XLA-side 8-corner gather for every level.
+
+    Returns cfT (8*L*F, N) corner features and wT (8*L, N) lerp weights
+    (zeros-padding validity folded into the weights).  Matches
+    ops.interp.grid_interpolate semantics exactly.
+    """
+    from miso_tpu.ops.interp import corner_indices_and_weights
+
+    d = x.shape[-1]
+    N = x.shape[0]
+    cf_rows, w_rows = [], []
+    for level, grid in enumerate(grids):
+        spatial = grid.shape[:-1]
+        F = grid.shape[-1]
+        size = None if sizes is None else sizes[level]
+        lin, w = corner_indices_and_weights(x, bound, spatial, size)
+        flat = grid.reshape(-1, F)
+        cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
+        # (C, N, F) -> (C*F, N) rows of (corner, feature) pairs.
+        cf_rows.append(jnp.transpose(cf, (0, 2, 1)).reshape(2 ** d * F, N)
+                       .astype(jnp.float32))
+        w_rows.append(w.astype(jnp.float32))
+    return jnp.concatenate(cf_rows, axis=0), jnp.concatenate(w_rows, axis=0)
+
+
+def fused_interp_decode(grids: Sequence[jnp.ndarray], x: jnp.ndarray,
+                        bound: jnp.ndarray, decoder_params,
+                        sizes=None, ignore_level=None,
+                        force=False, interpret: Optional[bool] = None):
+    """Multi-level trilinear interp + concat + MLP decode, fused.
+
+    Drop-in for ``grid_decode(multi_level_interpolate(...))`` on the
+    pos_invariant path.  Gather runs in XLA; lerp/concat/MLP run in one
+    Pallas kernel; gradients (any order) flow via a jnp custom VJP.
+    """
+    if not _PALLAS_OK or (not _on_tpu() and not force):
+        from miso_tpu.ops.interp import grid_decode, multi_level_interpolate
+        feats = multi_level_interpolate(grids, x, bound, ignore_level)
+        return grid_decode(feats, x, decoder_params, True)
+    if interpret is None:
+        interpret = not _on_tpu()
+    n_levels = len(grids)
+    fdim = grids[0].shape[-1]
+    cfT, wT = _corner_gather(grids, x, bound, sizes)
+    if ignore_level is not None:
+        lvl_scale = jnp.repeat(1.0 - ignore_level.astype(jnp.float32), 8)
+        wT = wT * lvl_scale[:, None]
+    N = x.shape[0]
+    Np = _round_up(max(N, TILE_N), TILE_N)
+    if Np > N:
+        cfT = jnp.pad(cfT, ((0, 0), (0, Np - N)))
+        wT = jnp.pad(wT, ((0, 0), (0, Np - N)))
+    WTs, bs, dims = _pad_params_T(decoder_params)
+    out = _fused_padded(cfT, wT, tuple(WTs), tuple(bs), n_levels, fdim,
+                        interpret)
+    return out[: dims[-1], :N].T.astype(x.dtype)

@@ -77,7 +77,9 @@ class Fuser:
         )
         opt_state = masked_adam_init(params)
 
-        def step(params, opt_state, batch, key):
+        # mask flows as an ARGUMENT (device-array closure constants hit
+        # the axon slow dispatch path; see ops/interp.py notes).
+        def step(params, opt_state, batch, mask_, key):
             def objective(p):
                 d = fusion_loss(p, batch, key, **loss_kwargs)
                 return total_loss(d), d
@@ -88,7 +90,7 @@ class Fuser:
             grads = jax.tree_util.tree_map(
                 lambda g: g if g.dtype == jax.dtypes.float0 else jnp.nan_to_num(g),
                 grads)
-            eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask)
+            eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
             new_p, new_o = masked_adam_update(grads, opt_state, params, eff, lr=1.0)
             return new_p, new_o, tl
 
@@ -98,6 +100,6 @@ class Fuser:
         for it in range(iterations):
             batch = {k: jnp.asarray(v) for k, v in self.dataset.sample(rng).items()}
             key, sub = jax.random.split(key)
-            params, opt_state, tl = step(params, opt_state, batch, sub)
+            params, opt_state, tl = step(params, opt_state, batch, mask, sub)
         self.atlas.params = params
         return float(tl)

@@ -14,6 +14,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct as _struct
 
 
 def sign_mask_from_gt_sdf(gt_sdf, trunc_dist=0.15):
@@ -26,13 +27,27 @@ def valid_mask_from_gt_sdf(gt_sdf, trunc_dist=0.15):
     return (jnp.abs(gt_sdf) < trunc_dist).astype(gt_sdf.dtype)
 
 
+@partial(jax.jit, static_argnames=())
+def _eval_blocks(query_pytree, blocks):
+    """lax.map over chunk blocks; query passed as a pytree ARGUMENT.
+
+    Single device dispatch for the whole lattice.  Passing the model as
+    an argument (not a closure constant) matters on the axon tunnel:
+    executables with embedded device-array constants run ~100x slower
+    per call (measured; see ops/interp.py notes)."""
+    return jax.lax.map(lambda p: query_pytree(p).reshape(-1), blocks)
+
+
 def extract_fields(query_func: Callable, bound, resolution: int,
                    chunk: int = 262144) -> np.ndarray:
     """Evaluate an SDF on a resolution^3 lattice spanning ``bound``.
 
     Lattice nodes are linspace(bound_min, bound_max, resolution) per axis
-    (matches reference utils_sdf.py:69-86).  The query runs as jitted
-    chunks over the flattened lattice -- one compile, device-resident.
+    (matches reference utils_sdf.py:69-86).  The whole lattice runs as
+    ONE jitted lax.map over chunks -- one compile, one dispatch.  When
+    ``query_func`` is itself a pytree (a GridNet / GridAtlasParams /
+    ObservedQuery), it is passed as an argument so device buffers are
+    not baked into the executable.
     """
     b = np.asarray(bound, np.float32)
     axes = [np.linspace(b[i, 0], b[i, 1], resolution, dtype=np.float32) for i in range(3)]
@@ -41,10 +56,15 @@ def extract_fields(query_func: Callable, bound, resolution: int,
     n = pts.shape[0]
     pad = (-n) % chunk
     pts_pad = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
-    blocks = pts_pad.reshape(-1, chunk, 3)
+    blocks = jnp.asarray(pts_pad.reshape(-1, chunk, 3))
 
-    fn = jax.jit(lambda p: query_func(p).reshape(-1))
-    vals = np.concatenate([np.asarray(fn(jnp.asarray(blk))) for blk in blocks])
+    if jax.tree_util.tree_leaves(query_func):
+        vals = np.asarray(_eval_blocks(query_func, blocks)).ravel()
+    else:
+        # Plain-closure fallback: still a single dispatch.
+        fn = jax.jit(lambda blocks_: jax.lax.map(
+            lambda p: query_func(p).reshape(-1), blocks_))
+        vals = np.asarray(fn(blocks)).ravel()
     return vals[:n].reshape(resolution, resolution, resolution)
 
 
@@ -81,6 +101,26 @@ def save_mesh(query_func, bound, save_path: Optional[str] = None,
     return TriangleMesh(verts, tris)
 
 
+class ObservedQuery(_struct.PyTreeNode):
+    """Pytree-callable wrapping a model with a stability mask.
+
+    A pytree (not a closure) so extract_fields can pass it as a jit
+    argument (see _eval_blocks).
+    """
+    model: object
+    stability_thresh: jnp.ndarray
+    fill_value: jnp.ndarray
+
+    def __call__(self, x):
+        sdf = self.model(x)[:, :1]
+        # Finest-level stability: the coarse level's cells smear
+        # "observed" ~one coarse cell past the data, which keeps the
+        # phantom TSDF shell behind surfaces (the zero crossing where
+        # behind-surface supervision ends) in the mesh.
+        mu = self.model.query_stability(x)[:, -1:]
+        return jnp.where(mu > self.stability_thresh, sdf, self.fill_value)
+
+
 def observed_sdf_query(model, stability_thresh=0.2, fill_value=1e3):
     """Wrap a model so unobserved regions decode to a large positive SDF.
 
@@ -89,17 +129,9 @@ def observed_sdf_query(model, stability_thresh=0.2, fill_value=1e3):
     extracts surface where the map actually saw data, suppressing the
     spurious zero crossings that zero-feature regions produce.
     """
-    def query(x):
-        sdf = model(x)[:, :1]
-        # Finest-level stability: the coarse level's cells smear
-        # "observed" ~one coarse cell past the data, which keeps the
-        # phantom TSDF shell behind surfaces (the zero crossing where
-        # behind-surface supervision ends) in the mesh.
-        mu = model.query_stability(x)[:, -1:]
-        import jax.numpy as jnp
-        return jnp.where(mu > stability_thresh, sdf, fill_value)
-
-    return query
+    return ObservedQuery(model=model,
+                         stability_thresh=jnp.asarray(stability_thresh),
+                         fill_value=jnp.asarray(fill_value))
 
 
 def write_ply(path: str, verts: np.ndarray, tris: np.ndarray):
