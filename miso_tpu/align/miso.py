@@ -137,6 +137,121 @@ def pairwise_loss_sdf(params: GridAtlasParams, atlas: GridAtlas,
     return {f"align_sdf_{src}_{dst}": loss * align_weight}
 
 
+# ---------------------------------------------------------------------------
+# Vmapped pair losses: one vmap over a stacked pair axis instead of a
+# Python-unrolled pair loop.  Compile time is flat in the number of
+# submaps/pairs (the reference -- and our unrolled path -- re-traces per
+# pair, align/base.py:127-146).  Relies on the padded stacked atlas
+# storage + size-aware per-submap queries, so submap indices can be
+# traced values.
+# ---------------------------------------------------------------------------
+
+def _latent_pair_scalar(params, src, dst, level, coords_from, valid_from,
+                        align_loss, use_bound, stability_thresh,
+                        trunc_factor, key, subsample_points):
+    """Scalar latent residual for one (src, dst) pair; src/dst traced."""
+    fdim = params.fdim
+    end_ch = fdim * (level + 1)
+    if subsample_points is not None and key is not None:
+        idx = jax.random.choice(key, coords_from.shape[0],
+                                (min(subsample_points, coords_from.shape[0]),),
+                                replace=False)
+        coords_from = coords_from[idx]
+        valid_from = valid_from[idx]
+    coords_to = _pair_points(params, coords_from, src, dst)
+    mask = valid_from
+    if use_bound:
+        mask = mask * se3.coords_in_bound(coords_to, params.bounds[dst])
+    if stability_thresh > 0:
+        mu_to = params.query_stability_submap(dst, coords_to)[:, :1]
+        mu_from = params.query_stability_submap(src, coords_from)[:, :1]
+        mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
+    if trunc_factor is not None:
+        sdf_from = params.forward_submap(src, coords_from)
+        cell = params.cell_sizes[level]
+        mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
+    f_from = params.query_feature_submap(src, coords_from)[:, :end_ch]
+    f_to = params.query_feature_submap(dst, coords_to)[:, :end_ch]
+    c = f_from - f_to
+    count = jnp.maximum(jnp.sum(mask), 1.0)
+    if align_loss == "L2":
+        return jnp.sum(mask * c**2) / (count * end_ch)
+    if align_loss == "L1":
+        return jnp.sum(mask[:, 0] * jnp.linalg.norm(c, axis=1)) / count
+    if align_loss == "cos":
+        num = jnp.sum(f_from * f_to, axis=1, keepdims=True)
+        den = (jnp.linalg.norm(f_from, axis=1, keepdims=True)
+               * jnp.linalg.norm(f_to, axis=1, keepdims=True))
+        return jnp.sum(mask * (1.0 - num / jnp.maximum(den, 1e-8))) / count
+    if align_loss == "InfoNCE":
+        from miso_tpu.losses.common import info_nce_loss
+        return info_nce_loss(f_from, f_to, mask)
+    raise ValueError(f"Invalid align loss: {align_loss}")
+
+
+def _sdf_pair_scalar(params, src, dst, coords_from, valid_from, align_loss,
+                     use_bound, stability_thresh, gm_scale_sdf, key,
+                     subsample_points):
+    """Scalar SDF residual for one (src, dst) pair; src/dst traced."""
+    if subsample_points is not None and key is not None:
+        idx = jax.random.choice(key, coords_from.shape[0],
+                                (min(subsample_points, coords_from.shape[0]),),
+                                replace=False)
+        coords_from = coords_from[idx]
+        valid_from = valid_from[idx]
+    coords_to = _pair_points(params, coords_from, src, dst)
+    mask = valid_from
+    if use_bound:
+        mask = mask * se3.coords_in_bound(coords_to, params.bounds[dst])
+    if stability_thresh > 0:
+        mu_to = params.query_stability_submap(dst, coords_to)[:, :1]
+        mu_from = params.query_stability_submap(src, coords_from)[:, :1]
+        mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
+    out_from = params.forward_submap(src, coords_from)
+    out_to = params.forward_submap(dst, coords_to)
+    c = out_from - out_to
+    count = jnp.maximum(jnp.sum(mask), 1.0)
+    if align_loss == "L2":
+        return jnp.sum(mask * c**2) / count
+    if align_loss == "L1":
+        return jnp.sum(mask[:, 0] * jnp.linalg.norm(c, axis=1)) / count
+    if align_loss == "GM":
+        return jnp.sum(mask * gm_weighted_sq(c, gm_scale_sdf)) / count
+    raise ValueError(f"Invalid align loss: {align_loss}")
+
+
+def make_vmapped_pair_loss(kind: str, level: Optional[int] = None,
+                           align_weight=3000.0, align_loss="L2",
+                           use_bound=True, stability_thresh=0.0,
+                           trunc_factor=None, gm_scale_sdf=0.1,
+                           subsample_points=None):
+    """Batched pair loss: ctx = (src_ids (Np,), dst_ids (Np,),
+    coords (Np, P, 3), valid (Np, P, 1)) -> {name: scalar}.
+
+    Plugs into generic_align_multiple_submaps(batched_loss=True).
+    """
+    name = (f"align_latent_level{level}" if kind == "latent" else
+            f"align_sdf_{align_loss}")
+
+    def batched(params, key, ctx):
+        src_ids, dst_ids, coords, valid = ctx
+        keys = jax.random.split(key, src_ids.shape[0])
+
+        def one(src, dst, cf, vf, k):
+            if kind == "latent":
+                return _latent_pair_scalar(
+                    params, src, dst, level, cf, vf, align_loss, use_bound,
+                    stability_thresh, trunc_factor, k, subsample_points)
+            return _sdf_pair_scalar(
+                params, src, dst, cf, vf, align_loss, use_bound,
+                stability_thresh, gm_scale_sdf, k, subsample_points)
+
+        losses = jax.vmap(one)(src_ids, dst_ids, coords, valid, keys)
+        return {name: jnp.sum(losses) * align_weight}
+
+    return batched
+
+
 def atlas_pose_trust_region_loss(params: GridAtlasParams, thresh_rad,
                                  thresh_m, weight=1e3):
     """Per-submap trust-region pose regularizer (align/base.py:20-27)."""
@@ -155,7 +270,7 @@ def generic_align_multiple_submaps(
         submap_pairs: Optional[Sequence[Tuple[int, int]]] = None,
         check_intersection=True, pose_reg_weight=0.0,
         pose_thresh_rad=1.0, pose_thresh_m=1.0, verbose=False,
-        save_iterations=False, seed=0, loss_ctx=None):
+        save_iterations=False, seed=0, loss_ctx=None, batched_loss=False):
     """Adam over all submap poses, submap 0 anchored
     (reference align/base.py:89-163).
 
@@ -163,14 +278,20 @@ def generic_align_multiple_submaps(
     alignment coords) threaded through the jitted step as an ARGUMENT
     and passed to ``pair_loss_fn`` as a 5th parameter.  Device arrays
     must never be baked into the step as closure constants (~100x slow
-    dispatch path on the axon tunnel)."""
+    dispatch path on the axon tunnel).
+
+    ``batched_loss``: pair_loss_fn is a vmapped batch loss
+    (params, key, ctx) -> dict evaluated ONCE per step (see
+    make_vmapped_pair_loss); submap_pairs/check_intersection are then
+    the caller's responsibility (encoded in ctx)."""
     params = atlas.params
-    if submap_pairs is None:
-        submap_pairs = [(i, j) for i in range(atlas.num_submaps)
-                        for j in range(i + 1, atlas.num_submaps)]
-    if check_intersection:
-        submap_pairs = [(i, j) for (i, j) in submap_pairs
-                        if atlas.check_submap_intersection(i, j)]
+    if not batched_loss:
+        if submap_pairs is None:
+            submap_pairs = [(i, j) for i in range(atlas.num_submaps)
+                            for j in range(i + 1, atlas.num_submaps)]
+        if check_intersection:
+            submap_pairs = [(i, j) for (i, j) in submap_pairs
+                            if atlas.check_submap_intersection(i, j)]
     # Optimize over the small pose-only pytree.  The full atlas params
     # flow through the jit as an ARGUMENT (never a closure constant:
     # executables with embedded device arrays hit a ~100x slow dispatch
@@ -185,12 +306,15 @@ def generic_align_multiple_submaps(
         def objective(pose):
             p = full_params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
             loss_dict = {}
-            keys = jax.random.split(key, max(len(submap_pairs), 1))
-            for k, (s, d) in enumerate(submap_pairs):
-                if ctx is not None:
-                    loss_dict.update(pair_loss_fn(p, s, d, keys[k], ctx))
-                else:
-                    loss_dict.update(pair_loss_fn(p, s, d, keys[k]))
+            if batched_loss:
+                loss_dict.update(pair_loss_fn(p, key, ctx))
+            else:
+                keys = jax.random.split(key, max(len(submap_pairs), 1))
+                for k, (s, d) in enumerate(submap_pairs):
+                    if ctx is not None:
+                        loss_dict.update(pair_loss_fn(p, s, d, keys[k], ctx))
+                    else:
+                        loss_dict.update(pair_loss_fn(p, s, d, keys[k]))
             if pose_reg_weight > 0:
                 loss_dict.update(atlas_pose_trust_region_loss(
                     p, pose_thresh_rad, pose_thresh_m, pose_reg_weight))
@@ -244,31 +368,59 @@ def align_multiple_submaps_hierarchical(
         latent_levels: Optional[Sequence[int]] = None, skip_finetune=False,
         submap_pairs=None, pose_reg_weight=0.0, pose_thresh_m=1.0,
         pose_thresh_rad=1.0, gm_scale_sdf=0.1, verbose=False,
-        save_iterations=False, seed=0):
+        save_iterations=False, seed=0, vmap_pairs=True):
     """Coarse-to-fine latent alignment + optional SDF finetune
-    (reference miso.py:217-322)."""
+    (reference miso.py:217-322).
+
+    ``vmap_pairs`` (default): evaluate every submap pair through ONE
+    vmapped loss per step -- compile time flat in the number of pairs.
+    Set False for the reference-style unrolled pair loop.
+    """
     atlas.precompute_coordinates_for_alignment()
     info: Dict = {}
     cpu_total = 0.0
     if latent_levels is None:
         latent_levels = range(atlas.num_levels)
+    # Pair list (pruned once, host-side; align/base.py:132-136).
+    pairs = submap_pairs if submap_pairs is not None else \
+        [(i, j) for i in range(atlas.num_submaps)
+         for j in range(i + 1, atlas.num_submaps)]
+    pairs = [(i, j) for (i, j) in pairs
+             if atlas.check_submap_intersection(i, j)]
+
+    def pair_ctx(coords):
+        src = jnp.asarray([s for s, _ in pairs], jnp.int32)
+        dst = jnp.asarray([d for _, d in pairs], jnp.int32)
+        cf = jnp.stack([coords[s][0] for s, _ in pairs])
+        vf = jnp.stack([coords[s][1] for s, _ in pairs])
+        return (src, dst, cf, vf)
+
     for level in latent_levels:
         coords = {s: atlas.coordinates_for_alignment(s, level)
                   for s in range(atlas.num_submaps)}
-
-        def pair_loss(p, s, d, key, ctx, _level=level):
-            cf, vf = ctx[s]
-            return pairwise_loss_latent(
-                p, atlas, s, d, _level, cf, vf, align_weight, align_loss,
-                use_bound, stability_thresh, None, key, subsample_points)
+        if vmap_pairs:
+            pair_loss = make_vmapped_pair_loss(
+                "latent", level=level, align_weight=align_weight,
+                align_loss=align_loss, use_bound=use_bound,
+                stability_thresh=stability_thresh,
+                subsample_points=subsample_points)
+            ctx = pair_ctx(coords)
+        else:
+            def pair_loss(p, s, d, key, ctx, _level=level):
+                cf, vf = ctx[s]
+                return pairwise_loss_latent(
+                    p, atlas, s, d, _level, cf, vf, align_weight, align_loss,
+                    use_bound, stability_thresh, None, key, subsample_points)
+            ctx = coords
 
         level_info = generic_align_multiple_submaps(
             atlas, pair_loss, num_iters=level_iters,
-            rel_change_thresh=level_thresh, lr=lr, submap_pairs=submap_pairs,
+            rel_change_thresh=level_thresh, lr=lr, submap_pairs=pairs,
+            check_intersection=False,
             pose_reg_weight=pose_reg_weight, pose_thresh_rad=pose_thresh_rad,
             pose_thresh_m=pose_thresh_m, verbose=verbose,
             save_iterations=save_iterations, seed=seed + level,
-            loss_ctx=coords)
+            loss_ctx=ctx, batched_loss=vmap_pairs)
         cpu_total += level_info["cpu_time_sec"]
         info[f"hier_latent_level{level}_{align_loss}"] = level_info
     if not skip_finetune:
@@ -276,19 +428,28 @@ def align_multiple_submaps_hierarchical(
         finest = atlas.num_levels - 1
         coords = {s: atlas.coordinates_for_alignment(s, finest)
                   for s in range(atlas.num_submaps)}
-
-        def pair_loss_sdf(p, s, d, key, ctx):
-            cf, vf = ctx[s]
-            return pairwise_loss_sdf(
-                p, atlas, s, d, cf, vf, align_weight, sdf_align_loss,
-                use_bound, stability_thresh, gm_scale_sdf, key, subsample_points)
+        if vmap_pairs:
+            pair_loss_sdf = make_vmapped_pair_loss(
+                "sdf", align_weight=align_weight, align_loss=sdf_align_loss,
+                use_bound=use_bound, stability_thresh=stability_thresh,
+                gm_scale_sdf=gm_scale_sdf, subsample_points=subsample_points)
+            ctx = pair_ctx(coords)
+        else:
+            def pair_loss_sdf(p, s, d, key, ctx):
+                cf, vf = ctx[s]
+                return pairwise_loss_sdf(
+                    p, atlas, s, d, cf, vf, align_weight, sdf_align_loss,
+                    use_bound, stability_thresh, gm_scale_sdf, key,
+                    subsample_points)
+            ctx = coords
 
         fin = generic_align_multiple_submaps(
             atlas, pair_loss_sdf, num_iters=finetune_iters, lr=lr,
-            submap_pairs=submap_pairs, pose_reg_weight=pose_reg_weight,
+            submap_pairs=pairs, check_intersection=False,
+            pose_reg_weight=pose_reg_weight,
             pose_thresh_rad=pose_thresh_rad, pose_thresh_m=pose_thresh_m,
             verbose=verbose, save_iterations=save_iterations, seed=seed + 101,
-            loss_ctx=coords)
+            loss_ctx=ctx, batched_loss=vmap_pairs)
         cpu_total += fin["cpu_time_sec"]
         info[f"hier_sdf_{sdf_align_loss}"] = fin
     info["cpu_time_sec"] = cpu_total

@@ -234,3 +234,67 @@ def test_trained_submap_alignment_end_to_end():
     rot1, tr1 = errors()
     assert rot1 < 0.5 * rot0, (rot0, rot1)
     assert tr1 < 0.5 * tr0, (tr0, tr1)
+
+
+def test_vmapped_pair_loss_matches_unrolled():
+    """The vmapped batched pair loss equals the sum of unrolled
+    per-pair losses at identical params (no subsampling)."""
+    from miso_tpu.align.miso import (make_vmapped_pair_loss,
+                                     pairwise_loss_latent, pairwise_loss_sdf)
+
+    atlas = build_atlas(3, offset=0.4)
+    atlas.set_submap_pose_correction(
+        1, np.array([0, 0, 0.05], np.float32), np.array([0.05, 0, 0], np.float32))
+    atlas.precompute_coordinates_for_alignment()
+    p = atlas.params
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    key = jax.random.PRNGKey(0)
+    for level in range(2):
+        coords = {s: atlas.coordinates_for_alignment(s, level) for s in range(3)}
+        ctx = (jnp.asarray([s for s, _ in pairs], jnp.int32),
+               jnp.asarray([d for _, d in pairs], jnp.int32),
+               jnp.stack([coords[s][0] for s, _ in pairs]),
+               jnp.stack([coords[s][1] for s, _ in pairs]))
+        batched = make_vmapped_pair_loss("latent", level=level,
+                                         align_weight=1.0)
+        got = float(sum(batched(p, key, ctx).values()))
+        want = 0.0
+        for s, d in pairs:
+            cf, vf = coords[s]
+            want += float(sum(pairwise_loss_latent(
+                p, atlas, s, d, level, cf, vf, align_weight=1.0).values()))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+    # SDF variant.
+    coords = {s: atlas.coordinates_for_alignment(s, 1) for s in range(3)}
+    ctx = (jnp.asarray([s for s, _ in pairs], jnp.int32),
+           jnp.asarray([d for _, d in pairs], jnp.int32),
+           jnp.stack([coords[s][0] for s, _ in pairs]),
+           jnp.stack([coords[s][1] for s, _ in pairs]))
+    batched = make_vmapped_pair_loss("sdf", align_weight=1.0)
+    got = float(sum(batched(p, key, ctx).values()))
+    want = sum(float(sum(pairwise_loss_sdf(
+        p, atlas, s, d, *coords[s], align_weight=1.0).values()))
+        for s, d in pairs)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_many_submap_alignment_one_jit():
+    """9 overlapping submaps aligned with the vmapped pair axis: one
+    compile regardless of the 30+ intersecting pairs (VERDICT round-1
+    item 5; reference unrolls pairs, align/base.py:127-146)."""
+    n = 9
+    atlas = build_atlas(n, offset=0.5)
+    rng = np.random.default_rng(3)
+    true_t = np.array([[0.5 * s, 0, 0] for s in range(n)], np.float32)
+    for s in range(1, n):
+        atlas.set_submap_pose_correction(
+            s, rng.normal(0, 0.02, 3).astype(np.float32),
+            rng.normal(0, 0.04, 3).astype(np.float32))
+    R, t = atlas.params.updated_submap_poses()
+    err0 = float(np.linalg.norm(np.asarray(t) - true_t, axis=1).mean())
+    align_multiple_submaps_hierarchical(
+        atlas, level_iters=80, lr=5e-3, align_weight=3000.0,
+        latent_levels=[0], skip_finetune=True)
+    R, t = atlas.params.updated_submap_poses()
+    err1 = float(np.linalg.norm(np.asarray(t) - true_t, axis=1).mean())
+    assert err1 < 0.5 * err0, (err0, err1)
