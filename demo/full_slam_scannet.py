@@ -132,12 +132,7 @@ def main():
                       max_kfs_per_submap=cfg["system"]["submap_size"])
     R0, t0 = dataset.noisy_kf_pose_in_world(0)
     if args.synthetic:
-        atlas.cfg_model["decoder"]["fix"] = True
-        _orig_rebuild = atlas._rebuild_params
-        def _rebuild_with_decoder(*a, **k):
-            _orig_rebuild(*a, **k)
-            atlas.params = atlas.params.replace(decoder=dec)
-        atlas._rebuild_params = _rebuild_with_decoder
+        atlas.set_decoder(dec, fixed=True)
     t_start = time.time()
     system = System(atlas, dataset, dataset, cfg,
                     R_world_origin=R0, t_world_origin=t0)

@@ -169,8 +169,10 @@ def _register_builtins():
     @register_model("grid_atlas")
     def _grid_atlas(cfg, key, **kw):
         from miso_tpu.models.grid_atlas import GridAtlas
+        sys_cfg = cfg.get("system", {})
         return GridAtlas(cfg["model"],
-                         max_kfs_per_submap=cfg.get("system", {}).get("submap_size", 1))
+                         max_kfs_per_submap=sys_cfg.get("submap_size", 1),
+                         capacity=sys_cfg.get("submap_capacity"))
 
     @register_model("isdf")
     def _isdf(cfg, key, **kw):

@@ -280,10 +280,17 @@ class GridAtlas:
     submap is its anchor (grid_atlas.py:19-26).
     """
 
-    def __init__(self, cfg_model: Dict, max_kfs_per_submap: int = 1, dtype=jnp.float32):
+    def __init__(self, cfg_model: Dict, max_kfs_per_submap: int = 1,
+                 dtype=jnp.float32, capacity: Optional[int] = None):
+        """``capacity``: preallocate this many submap SLOTS so add_submap
+        is a shape-stable slot write (no re-stack/re-upload of every
+        grid).  Slots beyond the live count are masked inactive.  When
+        exceeded, storage grows geometrically (2x).  None (default)
+        keeps exact-size storage (realloc per add)."""
         self.cfg_model = copy.deepcopy(cfg_model)
         self.dtype = dtype
         self.max_kfs = int(max_kfs_per_submap)
+        self.capacity = int(capacity) if capacity else None
         self.params: Optional[GridAtlasParams] = None
         self._submap_shapes: List[List[Tuple[int, ...]]] = []  # [submap][level]
         self._anchor_kf: List[int] = []
@@ -334,11 +341,62 @@ class GridAtlas:
         anchor = self.curr_kf_id + 1
         self._anchor_kf.append(anchor)
         self.curr_submap_id = self.num_submaps - 1
-        self._rebuild_params(new_bound=bound_np, new_Rws=Rws, new_tws=tws)
+        if self._can_insert_in_place(shapes, K):
+            self._insert_submap_slot(bound_np, Rws, tws, shapes)
+        else:
+            self._rebuild_params(new_bound=bound_np, new_Rws=Rws, new_tws=tws)
+
+    def _can_insert_in_place(self, shapes, K: int) -> bool:
+        """True when the new submap fits the preallocated storage: a free
+        slot exists, the KF axis is unchanged, and the padded grid shapes
+        cover the new submap's logical shapes."""
+        p = self.params
+        if p is None or self.capacity is None:
+            return False
+        if self.num_submaps > p.Rws.shape[0]:
+            return False
+        if K > p.Rsk.shape[1]:
+            return False
+        for level in range(self.num_levels):
+            pad = p.features[level].shape[1:-1]
+            if any(shapes[level][k] > pad[k] for k in range(len(pad))):
+                return False
+        return True
+
+    def _insert_submap_slot(self, bound_np, Rws, tws, shapes):
+        """Shape-stable slot write: O(slot) updates, grids untouched
+        (their slot rows are already zero-initialized)."""
+        s = self.curr_submap_id
+        p = self.params
+        sizes = list(p.sizes)
+        for level in range(self.num_levels):
+            sizes[level] = sizes[level].at[s].set(
+                jnp.asarray(shapes[level], jnp.int32))
+        self.params = p.replace(
+            bounds=p.bounds.at[s].set(jnp.asarray(bound_np)),
+            Rws=p.Rws.at[s].set(jnp.asarray(Rws)),
+            tws=p.tws.at[s].set(jnp.asarray(tws)),
+            sub_rot_corr=p.sub_rot_corr.at[s].set(0.0),
+            sub_trans_corr=p.sub_trans_corr.at[s].set(0.0),
+            active=p.active.at[s].set(1.0),
+            sizes=tuple(sizes),
+        )
 
     def _rebuild_params(self, new_bound, new_Rws, new_tws):
-        """Re-stack arrays to include the new submap (host-side realloc)."""
-        S = self.num_submaps
+        """Re-stack arrays to include the new submap (host-side realloc).
+
+        With ``capacity`` set, allocates spare submap slots (geometric 2x
+        growth once exceeded) so subsequent add_submap calls are O(slot)
+        in-place writes instead of full re-stacks."""
+        S_live = self.num_submaps
+        if self.capacity is None:
+            S = S_live
+        else:
+            S = max(self.capacity, S_live)
+            old_alloc = self.params.Rws.shape[0] if self.params is not None else 0
+            if S_live > old_alloc > 0:
+                S = max(S, 2 * old_alloc)
+            self.capacity = S
         K = self.max_kfs
         L = self.num_levels
         fdim = int(self.cfg_model["grid"]["feature_dim"])
@@ -360,8 +418,11 @@ class GridAtlas:
         for level in range(L):
             f = np.zeros((S, *pad_shapes[level], fdim), feat_dtype)
             st = np.zeros((S, *pad_shapes[level], 1), feat_dtype)
-            sz = np.zeros((S, d), np.int32)
-            for s in range(S):
+            # Spare slots get size 1 (a safe placeholder: inactive slots
+            # must still interpolate to finite values before the active
+            # mask zeroes them).
+            sz = np.ones((S, d), np.int32)
+            for s in range(S_live):
                 sz[s] = self._submap_shapes[s][level]
             if old is not None:
                 of = np.asarray(old.features[level]).astype(feat_dtype)
@@ -381,20 +442,24 @@ class GridAtlas:
             return out
 
         eye = np.broadcast_to(np.eye(3, dtype=np.float32), (S, K, 3, 3)).copy()
-        eyeS = np.broadcast_to(np.eye(3, dtype=np.float32), (S, 3, 3)).copy()
-        Rws = grow(old.Rws if old else None, (S, 3, 3))
-        Rws[S - 1] = new_Rws
-        if old is None:
-            pass
+        Rws = np.broadcast_to(np.eye(3, dtype=np.float32), (S, 3, 3)).copy()
+        if old is not None:
+            Rws[: old.Rws.shape[0]] = np.asarray(old.Rws)
+        Rws[S_live - 1] = new_Rws
         Rsk = eye
         if old is not None:
             oR = np.asarray(old.Rsk)
             oldK = oR.shape[1]
             Rsk[: oR.shape[0], :oldK] = oR
         tws = grow(old.tws if old else None, (S, 3))
-        tws[S - 1] = new_tws
-        bounds = grow(np.asarray(old.bounds) if old else None, (S, d, 2))
-        bounds[S - 1] = new_bound
+        tws[S_live - 1] = new_tws
+        # Spare slots get a unit bound (nonzero extent: zero-width bounds
+        # divide by zero in index_coords and the resulting NaNs would
+        # poison the active-masked sums).
+        bounds = np.tile(np.array([[0.0, 1.0]], np.float32), (S, d, 1))
+        if old is not None:
+            bounds[: old.bounds.shape[0]] = np.asarray(old.bounds)
+        bounds[S_live - 1] = new_bound
         kf_map = np.zeros((S * K,), np.int32)
         kf_loc = np.zeros((S * K,), np.int32)
         for kf, sub in enumerate(self._kf_to_submap):
@@ -402,7 +467,9 @@ class GridAtlas:
             kf_loc[kf] = kf - self._anchor_kf[sub]
 
         dcfg = self.cfg_model.get("decoder", {"type": "none"})
-        if old is not None:
+        if getattr(self, "_pinned_decoder", None) is not None:
+            decoder = self._pinned_decoder
+        elif old is not None:
             decoder = old.decoder
         else:
             tmp = create_grid_net(jax.random.PRNGKey(0), self.cfg_model,
@@ -428,7 +495,7 @@ class GridAtlas:
             bounds=jnp.asarray(bounds),
             sizes=tuple(sizes),
             ignore_level=jnp.zeros((L,), jnp.float32),
-            active=jnp.ones((S,), jnp.float32),
+            active=jnp.asarray((np.arange(S) < S_live).astype(np.float32)),
             kf_to_submap=jnp.asarray(kf_map),
             kf_to_local=jnp.asarray(kf_loc),
             d=d,
@@ -488,6 +555,19 @@ class GridAtlas:
             sub_rot_corr=p.sub_rot_corr.at[s].set(jnp.asarray(dr).reshape(3)),
             sub_trans_corr=p.sub_trans_corr.at[s].set(jnp.asarray(dt).reshape(3)),
         )
+
+    def set_decoder(self, decoder, fixed: Optional[bool] = None):
+        """Install a (pretrained) shared decoder; persists across future
+        add_submap rebuilds.  ``fixed`` optionally freezes it
+        (cfg decoder.fix)."""
+        self._pinned_decoder = decoder
+        if fixed is not None:
+            self.cfg_model.setdefault("decoder", {})["fix"] = bool(fixed)
+        if self.params is not None:
+            kw = {"decoder": decoder}
+            if fixed is not None:
+                kw["decoder_fixed"] = bool(fixed)
+            self.params = self.params.replace(**kw)
 
     # -- views -------------------------------------------------------------
     def get_submap(self, s: int) -> GridNet:

@@ -111,3 +111,62 @@ def test_isdf_submap_loss_finite_on_mixed_bounds(rng):
                            stability_weight=0.1)
     for k, v in out.items():
         assert np.isfinite(float(v)), k
+
+
+def test_capacity_preallocated_atlas_growth(rng):
+    """add_submap with preallocated capacity is a slot write: the grid
+    buffers are NOT re-stacked/re-uploaded (VERDICT round-1 item 7)."""
+    atlas = GridAtlas(CFG, max_kfs_per_submap=2, capacity=8)
+    bound = np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32)
+    atlas.add_submap(bound)
+    atlas.add_kf()
+    feat0 = atlas.params.features[0]
+    in_place = 0
+    for s in range(1, 12):  # exceeds capacity 8 -> one geometric regrow
+        before = atlas.params.features[0]
+        atlas.add_submap(bound, tws=np.array([0.1 * s, 0, 0], np.float32))
+        atlas.add_kf()
+        if atlas.params.features[0] is before:
+            in_place += 1
+    # 11 adds: all but the capacity-overflow realloc are in-place.
+    assert in_place >= 10, in_place
+    assert atlas.params.Rws.shape[0] >= 12
+    assert atlas.num_submaps == 12
+    # Active mask marks live slots only.
+    act = np.asarray(atlas.params.active)
+    assert act[:12].all() and not act[12:].any()
+    # Spare slots are inert: forward over active submaps is finite and
+    # far points see zero features.
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
+    out = atlas.params(x)
+    assert np.isfinite(np.asarray(out)).all()
+    far = jnp.asarray(np.full((4, 3), 90.0, np.float32))
+    np.testing.assert_allclose(np.asarray(atlas.params.query_feature(far)), 0.0)
+
+
+def test_capacity_atlas_matches_exact_atlas(rng):
+    """Capacity-preallocated atlas computes the same field as the
+    exact-size atlas."""
+    def build(capacity):
+        atlas = GridAtlas(CFG, max_kfs_per_submap=2, capacity=capacity)
+        r = np.random.default_rng(7)
+        for s in range(3):
+            atlas.add_submap(np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32),
+                             tws=np.array([0.4 * s, 0, 0], np.float32))
+            atlas.add_kf()
+            atlas.add_kf()
+        p = atlas.params
+        feats = []
+        for f in p.features:
+            vals = r.normal(0, 1, (3, *f.shape[1:])).astype(np.float32)
+            feats.append(jnp.asarray(np.concatenate(
+                [vals, np.zeros((f.shape[0] - 3, *f.shape[1:]), np.float32)])))
+        atlas.params = p.replace(features=tuple(feats))
+        return atlas
+
+    a_exact = build(None)
+    a_cap = build(8)
+    x = jnp.asarray(rng.uniform(-0.9, 1.9, (128, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(a_cap.params(x)),
+                               np.asarray(a_exact.params(x)),
+                               rtol=1e-5, atol=1e-5)
