@@ -661,13 +661,16 @@ def grid_atlas_mask(params: GridAtlasParams,
                     anchor_first_submap: bool = True,
                     feature_lr: float = 1.0,
                     submap_pose_lr: float = 1.0,
-                    kf_pose_lr: float = 1.0) -> GridAtlasParams:
+                    kf_pose_lr: float = 1.0,
+                    level: Optional[int] = None) -> GridAtlasParams:
     """Trainability/LR mask for a GridAtlasParams pytree.
 
     Replaces the reference's lock_submap / lock_submap_pose /
     lock_keyframe_pose / params_for_* plumbing (grid_atlas.py:45-77,
     541-563).  ``anchor_first_submap`` reproduces 'submap 0 fixed at
-    origin' (align/base.py:104-110).
+    origin' (align/base.py:104-110).  ``level=l`` restricts feature /
+    stability training to grid level l (coarse-to-fine phases;
+    ``level >= num_levels`` or None means all levels).
     """
     def zeros(x):
         return jax.tree_util.tree_map(lambda _: jnp.asarray(0.0, jnp.float32), x)
@@ -680,11 +683,17 @@ def grid_atlas_mask(params: GridAtlasParams,
     if anchor_first_submap and S > 0:
         sub_mask = sub_mask.at[0].set(0.0)
     kf_mask = jnp.asarray(float(kf_pose) * kf_pose_lr, jnp.float32)
+    if level is not None and level < params.num_levels:
+        lvl_sel = [1.0 if l == level else 0.0 for l in range(params.num_levels)]
+    else:
+        lvl_sel = [1.0] * params.num_levels
     return params.replace(
-        features=tuple(jnp.asarray(float(features) * feature_lr, jnp.float32)
-                       for _ in params.features),
-        stability=tuple(jnp.asarray(float(stability) * feature_lr, jnp.float32)
-                        for _ in params.stability),
+        features=tuple(jnp.asarray(float(features) * feature_lr * lvl_sel[l],
+                                   jnp.float32)
+                       for l in range(params.num_levels)),
+        stability=tuple(jnp.asarray(float(stability) * feature_lr * lvl_sel[l],
+                                    jnp.float32)
+                        for l in range(params.num_levels)),
         decoder=(fulls(params.decoder, float(decoder)) if params.decoder is not None else None),
         sub_rot_corr=sub_mask,
         sub_trans_corr=sub_mask,

@@ -19,6 +19,67 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
+def train_parallel(args, model_cfg, meshes, key):
+    """One scene per device: stacked scene grids (padded storage) sharded
+    over a ('scene',) mesh, per-scene TSDF losses vmapped, the shared
+    decoder's gradient psum'd across devices every step.
+
+    Returns the trained decoder params.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from miso_tpu.models.grid_atlas import grid_atlas_mask
+    from miso_tpu.parallel.pretrain import (build_scene_stack,
+                                            scene_parallel_decoder_step,
+                                            shard_scene_stack,
+                                            stack_scene_batches)
+    from miso_tpu.parallel.sharding import make_mesh
+    from miso_tpu.train.optim import masked_adam_init
+
+    S = len(meshes)
+    atlas = build_scene_stack(model_cfg, [ds.bound for ds in meshes], key)
+    # Largest device count that tiles the scene count.
+    n_dev = len(jax.devices())
+    n = max(d for d in range(1, min(S, n_dev) + 1) if S % d == 0)
+    mesh = make_mesh(n, axes=("scene",))
+    print(f"parallel decoder pretraining: {S} scenes over {n} device(s)")
+    params = shard_scene_stack(atlas.params, mesh, "scene")
+    step = scene_parallel_decoder_step(trunc_dist=args.trunc_dist)
+    rng = np.random.default_rng(0)
+    k = jax.random.PRNGKey(1)
+
+    def run_phase(params, name, epochs, lr, level, ignore_fine):
+        print(f"=== {name}: {epochs} epochs, lr={lr} ===")
+        ig = jnp.asarray([0.0, 1.0] if ignore_fine else [0.0, 0.0])[
+            : params.num_levels]
+        params = params.replace(ignore_level=ig)
+        mask = grid_atlas_mask(params, features=True, stability=True,
+                               decoder=True, anchor_first_submap=False,
+                               level=level)
+        opt_state = masked_adam_init(params)
+        nonlocal k
+        for e in range(epochs):
+            batches = stack_scene_batches(
+                [ds.sample(rng) for ds in meshes], mesh, "scene")
+            k, sub = jax.random.split(k)
+            params, opt_state, tl = step(params, opt_state, batches, sub,
+                                         mask, jnp.float32(lr))
+            if e % 50 == 0:
+                print(f"  epoch {e}: loss={float(tl):.3e}")
+        return params
+
+    L = params.num_levels
+    with mesh:
+        params = run_phase(params, "coarse", args.epochs, 1e-3, level=0,
+                           ignore_fine=True)
+        params = run_phase(params, "fine", args.epochs, 1e-3, level=1,
+                           ignore_fine=False)
+        params = run_phase(params, "joint", args.epochs, 1e-4, level=L,
+                           ignore_fine=False)
+    return params.decoder
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/base.yaml")
@@ -30,6 +91,10 @@ def main():
                    help="Use procedural scenes instead of mesh files")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--trunc_dist", type=float, default=0.15)
+    p.add_argument("--parallel", action="store_true",
+                   help="One scene per device: stacked scene grids "
+                        "sharded over the mesh, decoder grads psum'd "
+                        "(SURVEY 2.10 row 5)")
     args = p.parse_args()
 
     import jax
@@ -73,6 +138,14 @@ def main():
         "pose": {"optimize": False, "num_poses": 1},
     }
     key = jax.random.PRNGKey(0)
+
+    if args.parallel:
+        decoder = train_parallel(args, model_cfg, meshes, key)
+        out = os.path.join(args.save_dir, f"{args.name}.npz")
+        save_pytree(out, decoder)
+        print(f"Saved pretrained decoder to {out}")
+        return
+
     grids = []
     for i, ds in enumerate(meshes):
         key, sub = jax.random.split(key)
