@@ -75,19 +75,36 @@ def main():
     tl.block_until_ready()
     model, opt_state = model_, opt_
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        model, opt_state, tl, _ = step(model, opt_state, batch, key, mask, lr)
-    tl.block_until_ready()
-    dt = time.perf_counter() - t0
-    pts_per_sec = N * iters / dt
+    # Chained steps (model/opt flow through), blocked per chunk of 10 to
+    # collect a per-step time distribution while amortizing host RTT.
+    chunks = 10
+    per_chunk = 10
+    chunk_times = []
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        for _ in range(per_chunk):
+            model, opt_state, tl, _ = step(model, opt_state, batch, key,
+                                           mask, lr)
+        tl.block_until_ready()
+        chunk_times.append((time.perf_counter() - t0) / per_chunk)
+    med = float(np.median(chunk_times))
+    p10 = float(np.percentile(chunk_times, 10))
+    pts_per_sec = N / med
 
     print(json.dumps({
         "metric": "sdf_query_backward_train_step_points_per_sec_per_chip",
         "value": pts_per_sec,
         "unit": "points/s",
         "vs_baseline": pts_per_sec / REFERENCE_ESTIMATE_PTS_PER_SEC,
+        "step_ms_median": med * 1e3,
+        "step_ms_p10": p10 * 1e3,
+        "scope": ("full mapping train step (interp+decode fwd, L1+FS "
+                  "loss, grads, masked Adam) on a device-resident "
+                  "1e6-point batch; EXCLUDES host sampling + H2D. "
+                  "vs_baseline divides by an ESTIMATE (4e7 pts/s) of "
+                  "the torch/CUDA reference's step throughput on an "
+                  "RTX-class GPU - the reference publishes no numbers "
+                  "and no GPU exists here."),
     }))
 
 

@@ -86,6 +86,54 @@ class PosedRgbdBase(SubmapDataset):
         T = self.T_WC[kf_id]
         return T[:3, :3].astype(np.float32), T[:3, 3].astype(np.float32)
 
+    # -- CLIP supervision ----------------------------------------------------
+    def load_clip_features(self, path: str, key: str = "clip_features",
+                           n_clip_rays: Optional[int] = None):
+        """Load per-frame CLIP feature maps into ``clip_features``.
+
+        Mirrors the reference's per-frame CLIP grids
+        (sdf_rgbd.py:295-380).  Accepted formats:
+          * one ``.npz`` with an (N, Hc, Wc, D) array under ``key`` (or
+            its single array),
+          * one ``.pt`` torch file (tensor or dict with ``key``),
+          * a directory of per-frame ``.npy``/``.npz``/``.pt`` files
+            (sorted), each (Hc, Wc, D).
+        """
+        import os
+
+        def _one(p):
+            if p.endswith(".npy"):
+                return np.load(p)
+            if p.endswith(".npz"):
+                z = np.load(p)
+                return z[key] if key in z else z[z.files[0]]
+            if p.endswith(".pt"):
+                import torch
+                obj = torch.load(p, map_location="cpu")
+                if isinstance(obj, dict):
+                    obj = obj[key]
+                return obj.numpy()
+            raise ValueError(f"Unsupported CLIP feature file: {p}")
+
+        if os.path.isdir(path):
+            files = sorted(f for f in os.listdir(path)
+                           if f.endswith((".npy", ".npz", ".pt")))
+            feats = np.stack([_one(os.path.join(path, f)) for f in files])
+        else:
+            feats = _one(path)
+        feats = np.asarray(feats, np.float32)
+        assert feats.ndim == 4, f"want (N, Hc, Wc, D), got {feats.shape}"
+        assert feats.shape[0] == self.num_kfs, (feats.shape, self.num_kfs)
+        self.clip_features = feats
+        if n_clip_rays is not None:
+            self.n_clip_rays = int(n_clip_rays)
+        return feats
+
+    @property
+    def clip_dim(self) -> Optional[int]:
+        return None if self.clip_features is None else \
+            int(self.clip_features.shape[-1])
+
     # -- sampling ----------------------------------------------------------
     def _sample_frame(self, rng, kf: int):
         """Fixed-size per-frame ray batch (scannet.py:386-469 recipe)."""
@@ -230,7 +278,7 @@ class PosedSdfRgbd(PosedRgbdBase):
 
     def __init__(self, root: str, depth_scale=1000.0, intrinsics=None,
                  intrinsics_file=None, frame_stride=1, max_frames=None,
-                 **sample_kwargs):
+                 clip_features_path=None, **sample_kwargs):
         import glob
         import os
 
@@ -266,6 +314,8 @@ class PosedSdfRgbd(PosedRgbdBase):
             self.fx = self.fy = 0.9 * W
             self.cx, self.cy = (W - 1) / 2.0, (H - 1) / 2.0
         self._setup(**sample_kwargs)
+        if clip_features_path:
+            self.load_clip_features(clip_features_path)
 
     def estimate_normals(self, kf_id: int) -> np.ndarray:
         from miso_tpu.utils import sample as S

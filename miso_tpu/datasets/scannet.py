@@ -77,6 +77,10 @@ class ScanNet(PosedRgbdBase):
             trunc_dist=d.get("trunc_dist", 0.15),
             bounds_method=d.get("bounds_method", "ray"),
         )
+        # Optional CLIP supervision (reference sdf_rgbd.py:295-380).
+        if d.get("clip_features"):
+            self.load_clip_features(d["clip_features"],
+                                    n_clip_rays=s.get("n_clip_rays"))
 
     def submap_bound(self, submap_id: int, buffer=0.5) -> np.ndarray:
         """(3, 2) local bound of a precomputed submap box."""

@@ -92,16 +92,27 @@ def trajectory_error(traj_est: np.ndarray, traj_gt: np.ndarray,
     gt = np.asarray(traj_gt)
     p_est = est[:, :3, 3] if est.ndim == 3 else est
     p_gt = gt[:, :3, 3] if gt.ndim == 3 else gt
+    R_align = np.eye(3)
     if align and len(p_est) >= 3:
-        R, t, _ = umeyama_alignment(p_est, p_gt)
-        p_est = p_est @ R.T + t
+        R_align, t, _ = umeyama_alignment(p_est, p_gt)
+        p_est = p_est @ R_align.T + t
     err = np.linalg.norm(p_est - p_gt, axis=1)
-    return {
+    out = {
         "ate_rmse": float(np.sqrt((err**2).mean())),
         "ate_mean": float(err.mean()),
         "ate_median": float(np.median(err)),
         "ate_std": float(err.std()),
     }
+    if est.ndim == 3 and gt.ndim == 3:
+        # Rotation RMSE after the same alignment rotation (reference
+        # utils_geometry.py:160-212 reports rotation error alongside).
+        from miso_tpu.ops import se3
+        import jax.numpy as jnp
+
+        R_est = jnp.asarray(R_align[None] @ est[:, :3, :3])
+        out["rot_rmse_deg"] = float(
+            se3.rotation_rmse_deg(R_est, jnp.asarray(gt[:, :3, :3])))
+    return out
 
 
 def sample_mesh_points(mesh, n: int, seed: int = 0) -> np.ndarray:

@@ -84,3 +84,24 @@ def test_vis_functions(tmp_path, rng):
                              fig_path=str(tmp_path / "curve.png"))
     assert (tmp_path / "scalar.png").exists()
     assert (tmp_path / "traj.png").exists()
+
+
+def test_trajectory_error_rotation_rmse(rng):
+    """(N,4,4) trajectories also report rotation RMSE (reference
+    utils_geometry.py:160-212)."""
+    from scipy.spatial.transform import Rotation
+
+    n = 10
+    gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    for i in range(n):
+        gt[i, :3, :3] = Rotation.from_euler("y", 0.1 * i).as_matrix()
+        gt[i, :3, 3] = [0.2 * i, 0, 0]
+    est = gt.copy()
+    # 2-degree yaw error on every frame.
+    dR = Rotation.from_euler("z", np.radians(2.0)).as_matrix()
+    est[:, :3, :3] = np.einsum("nij,jk->nik", est[:, :3, :3], dR)
+    out = trajectory_error(est, gt, align=False)
+    assert abs(out["rot_rmse_deg"] - 2.0) < 0.1, out
+    assert out["ate_rmse"] < 1e-6
+    exact = trajectory_error(gt, gt, align=True)
+    assert exact["rot_rmse_deg"] < 1e-3
