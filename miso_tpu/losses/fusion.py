@@ -19,10 +19,15 @@ from miso_tpu.ops import se3
 
 def fusion_loss(params, batch, key, loss_type="L1", weight_sdf=1.0,
                 weight_eik=0.0, weight_fs=0.1, trunc_dist=0.15,
-                finite_diff_eps=1e-2, grad_method="finitediff",
+                finite_diff_eps=1e-2, grad_method="autograd",
                 eik_trunc_dist=0.1, gm_scale_sdf=0.1):
     """MisoLossFusion: mapping loss over the whole GridAtlas with poses
-    composed submap-in-world o kf-in-submap (loss.py:856-861)."""
+    composed submap-in-world o kf-in-submap (loss.py:856-861).
+
+    grad_method defaults to 'autograd' like mapping_loss (the reference
+    routes fusion through the same machinery, loss.py:856-861); pass
+    'finitediff' to trade the S-way vmapped backward for 6 extra
+    forwards on very large atlases."""
     ids = batch["sample_frame_ids"].reshape(-1).astype(jnp.int32)
     R, t = params.updated_kf_poses_in_world()
     coords_world = se3.transform_points_by_id(batch["coords_frame"], ids, R, t)

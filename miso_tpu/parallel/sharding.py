@@ -107,7 +107,7 @@ def shard_atlas(params, mesh: Mesh, axis: str = "submap"):
     return jax.tree_util.tree_map(place, params)
 
 
-def submap_parallel_fusion_step(loss_fn, mesh: Mesh, mask,
+def submap_parallel_fusion_step(loss_fn, mesh: Mesh,
                                 submap_axis: str = "submap",
                                 data_axis: Optional[str] = "data"):
     """Fusion/joint-BA step with the atlas sharded over submaps and the
@@ -117,10 +117,14 @@ def submap_parallel_fusion_step(loss_fn, mesh: Mesh, mask,
     the submap axis -- XLA lowers the sum over per-submap features to a
     psum over ICI.  Gradients wrt stacked grids stay submap-local; only
     the shared decoder / pose reductions cross devices.
+
+    The trainability mask flows through the step as an ARGUMENT (device
+    arrays embedded as closure constants hit the axon slow dispatch
+    path; see ops/interp.py notes).
     """
     axes = [a for a in (submap_axis, data_axis) if a and a in mesh.axis_names]
 
-    def step(params, opt_state, batch, key, lr):
+    def step(params, opt_state, batch, key, mask, lr):
         def objective(p):
             d = loss_fn(p, batch, key)
             return total_loss(d), d

@@ -72,7 +72,7 @@ class Fuser:
             weight_fs=c.get("weight_fs", 0.1),
             trunc_dist=c.get("trunc_dist", 0.15),
             finite_diff_eps=c.get("finite_diff_eps", 1e-2),
-            grad_method=c.get("grad_method", "finitediff"),
+            grad_method=c.get("grad_method", "autograd"),
             eik_trunc_dist=c.get("eik_trunc_dist", 0.1),
         )
         opt_state = masked_adam_init(params)

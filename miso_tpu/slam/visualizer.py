@@ -1,11 +1,14 @@
-"""Headless visualizer: writes artifacts instead of an open3d window.
+"""Visualizer: artifact dumps + optional live web view.
 
 The reference's Visualizer (`grid_opt/slam/visualizer.py`) renders a
-live open3d view (trajectory lineset, current frame point cloud,
-throttled global mesh, submap boxes).  This environment is headless, so
-the same information is persisted to the log directory: trajectory
-KITTI file, frame point clouds (PLY), periodic global meshes.  The API
-mirrors the reference so System code is interchangeable.
+live open3d window (trajectory lineset, current frame point cloud,
+throttled global mesh, submap boxes).  SLAM machines here are headless,
+so the same information is (a) persisted to the log directory
+(trajectory file, frame PLYs, periodic meshes) and (b), with
+``visualizer.live: true``, served as a live browser view on
+``visualizer.live_port`` (slam/live_viewer.py -- self-contained page,
+no display or external assets needed).  The API mirrors the reference
+so System code is interchangeable.
 """
 from __future__ import annotations
 
@@ -29,8 +32,15 @@ class Visualizer:
         self.log_dir = cfg.get("system", {}).get("log_dir", "./results/default")
         self._frame_points: Optional[np.ndarray] = None
         self._count = 0
+        self.live = None
         if self.enable:
             os.makedirs(self.log_dir, exist_ok=True)
+            if c.get("live", False):
+                from miso_tpu.slam.live_viewer import LiveViewer
+
+                self.live = LiveViewer(port=int(c.get("live_port", 8800)))
+                print(f"[visualizer] live view at "
+                      f"http://127.0.0.1:{self.live.port}/")
 
     def set_current_frame_points(self, points: np.ndarray):
         self._frame_points = np.asarray(points)
@@ -47,16 +57,33 @@ class Visualizer:
             write_ply(os.path.join(self.log_dir, "current_frame.ply"),
                       self._frame_points,
                       np.zeros((0, 3), np.int32))
+        mesh = None
         if self.show_mesh and self._count % self.mesh_vis_freq == 0:
             try:
-                save_mesh(self.atlas.params, self.atlas.global_bound(),
-                          os.path.join(self.log_dir, f"mesh_frame{stop_frame:05d}.ply"),
-                          resolution=self.mesh_resolution)
+                mesh = save_mesh(
+                    self.atlas.params, self.atlas.global_bound(),
+                    os.path.join(self.log_dir, f"mesh_frame{stop_frame:05d}.ply"),
+                    resolution=self.mesh_resolution)
             except Exception as e:  # meshing must never kill SLAM
                 print(f"[visualizer] mesh export failed: {e}")
+        if self.live is not None:
+            from miso_tpu.slam.live_viewer import submap_box_corners
 
-    def update_view(self):
-        pass
+            p = self.atlas.params
+            Rs, ts = p.updated_submap_poses()
+            boxes = [submap_box_corners(np.asarray(p.bounds[s]),
+                                        np.asarray(Rs[s]), np.asarray(ts[s]))
+                     for s in range(self.atlas.num_submaps)]
+            self.live.update(
+                frame=stop_frame, traj_est=traj,
+                frame_points=self._frame_points,
+                submap_boxes=boxes, num_submaps=self.atlas.num_submaps,
+                mesh=(None if mesh is None else
+                      (mesh.vertices, mesh.triangles)))
 
     def quit(self):
+        if self.live is not None:
+            self.live.close()
+
+    def update_view(self):
         pass

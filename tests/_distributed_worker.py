@@ -59,7 +59,7 @@ def main():
     # Each process contributes ITS half of the global batch (DIFFERENT
     # rows per rank; the psum'd gradient must still agree).
     rng = np.random.default_rng(100 + pid)
-    N_local = 512  # global N = 1024 over 4 shards of 256
+    N_local = 256  # global N = 1024 over 4 shards of 256
     local = {
         "coords_frame": rng.uniform(-0.9, 0.9, (N_local, 3)).astype(np.float32),
         "sample_frame_ids": rng.integers(0, 4, (N_local,)).astype(np.int32),
@@ -83,7 +83,7 @@ def main():
     lr = jnp.float32(1e-2)
     with mesh:
         losses = []
-        for it in range(4):
+        for it in range(3):
             model, opt_state, tl, _ = step(model, opt_state, batch, key,
                                            mask, lr)
             # Global scalar: identical on every process by construction.

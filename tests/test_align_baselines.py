@@ -48,6 +48,7 @@ def test_vfpp_loss_minimum_at_gt(atlas_and_obs):
     assert l_pert > l_gt, (l_gt, l_pert)
 
 
+@pytest.mark.slow
 def test_mips_loss_differentiable(atlas_and_obs):
     atlas, coords, gt, valid = atlas_and_obs
     atlas.set_submap_pose_correction(1, np.zeros(3, np.float32),
@@ -82,6 +83,7 @@ def _passthrough_decoder(like):
             (jnp.asarray(W2n), jnp.zeros_like(b2)))
 
 
+@pytest.mark.slow
 def test_icp_pose_graph_reduces_error():
     """Perturb submap 1; ICP + pose graph must reduce the pose error.
 

@@ -87,6 +87,7 @@ def test_atlas_forward_and_poses():
     np.testing.assert_allclose(np.asarray(p.query_feature(far)), 0.0)
 
 
+@pytest.mark.fast
 def test_submap_view_roundtrip():
     atlas = build_atlas()
     g = atlas.get_submap(1)
@@ -99,6 +100,7 @@ def test_submap_view_roundtrip():
         np.asarray(g.features[0]) + 1.0, atol=1e-6)
 
 
+@pytest.mark.fast
 def test_intersection_check():
     atlas = build_atlas(offset=0.5)
     assert atlas.check_submap_intersection(0, 1)
@@ -106,6 +108,7 @@ def test_intersection_check():
     assert not far_atlas.check_submap_intersection(0, 1)
 
 
+@pytest.mark.slow
 def test_hierarchical_alignment_recovers_pose():
     atlas = build_atlas()
     # Perturb submap 1 pose (align_submaps.py:265-273 analog, smaller noise).
@@ -131,6 +134,7 @@ def test_hierarchical_alignment_recovers_pose():
     np.testing.assert_allclose(np.asarray(atlas.params.sub_trans_corr[0]), 0.0)
 
 
+@pytest.mark.fast
 def test_atlas_mask_shapes():
     atlas = build_atlas()
     mask = grid_atlas_mask(atlas.params, submap_pose=True)
@@ -139,6 +143,7 @@ def test_atlas_mask_shapes():
     assert float(jnp.asarray(mask.features[0])) == 0.0
 
 
+@pytest.mark.slow
 def test_trained_submap_alignment_end_to_end():
     """The full MISO pipeline on trained submaps: two overlapping grids
     trained to convergence on local GT-SDF samples with a shared frozen
@@ -182,7 +187,7 @@ def test_trained_submap_alignment_end_to_end():
                           dict(cfg_model, grid=dict(cfg_model["grid"],
                                                     bound=ds_all.bound.tolist())))
     dec = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
-                       "epochs": 150, "max_epochs_in_level": 50,
+                       "epochs": 100, "max_epochs_in_level": 35,
                        "grid_training_mode": "coordinate+joint"},
                       pre, loss_fn, ds_all).train().decoder
     cfg_model["decoder"]["fix"] = True
@@ -208,7 +213,7 @@ def test_trained_submap_alignment_end_to_end():
     for s, c in enumerate(centers):
         g = atlas.get_submap(s).replace(decoder=dec, decoder_fixed=True)
         tr = GridTrainer({"optimizer": "adam", "learning_rate": 5e-3,
-                          "epochs": 150, "max_epochs_in_level": 50,
+                          "epochs": 100, "max_epochs_in_level": 35,
                           "grid_training_mode": "coordinate+joint"},
                          g, loss_fn, LocalSdf(c))
         atlas.set_submap(s, tr.train())
@@ -228,7 +233,7 @@ def test_trained_submap_alignment_end_to_end():
 
     rot0, tr0 = errors()
     align_multiple_submaps_hierarchical(
-        atlas, level_iters=100, finetune_iters=100, lr=5e-3,
+        atlas, level_iters=70, finetune_iters=70, lr=5e-3,
         align_loss="L2", latent_levels=[0, 1], skip_finetune=False,
         verbose=False, seed=0)
     rot1, tr1 = errors()
@@ -278,6 +283,7 @@ def test_vmapped_pair_loss_matches_unrolled():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_many_submap_alignment_one_jit():
     """9 overlapping submaps aligned with the vmapped pair axis: one
     compile regardless of the 30+ intersecting pairs (VERDICT round-1

@@ -18,7 +18,7 @@ from miso_tpu.native import TriangleMesh
 from miso_tpu.train.trainer import Trainer
 from miso_tpu.utils import sample as S
 
-pytestmark = pytest.mark.fast
+
 
 CLIP_D = 2
 
@@ -56,6 +56,7 @@ def _clip_dataset():
     return ds
 
 
+@pytest.mark.fast
 def test_clip_batch_schema(rng):
     ds = _clip_dataset()
     batch = ds.sample(rng)
@@ -73,6 +74,7 @@ def test_clip_batch_schema(rng):
                                world_embedding(world), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_clip_head_regresses_embeddings(rng):
     ds = _clip_dataset()
     cfg_model = {
@@ -101,8 +103,8 @@ def test_clip_head_regresses_embeddings(rng):
                  jax.random.PRNGKey(0))
     assert "clip_L1" in d0
 
-    trainer = Trainer({"optimizer": "adam", "learning_rate": 5e-3,
-                       "epochs": 250}, model, loss_fn, ds, mask=mask)
+    trainer = Trainer({"optimizer": "adam", "learning_rate": 8e-3,
+                       "epochs": 150}, model, loss_fn, ds, mask=mask)
     model = trainer.train()
 
     # The clip head reproduces the embedding field at surface points.
@@ -117,6 +119,7 @@ def test_clip_head_regresses_embeddings(rng):
     assert err < 0.25 * base, (err, base)
 
 
+@pytest.mark.fast
 def test_clip_loader_formats(tmp_path, rng):
     """npz / pt / per-frame-directory CLIP grids load into
     clip_features and flow into sampled batches."""

@@ -111,6 +111,7 @@ loss: {{sdf_weight: 1000.0}}
     assert "sdf" in d
 
 
+@pytest.mark.slow
 def test_clip_supervision_pipeline(rng):
     """CLIP head: dataset emits clip_* keys; mapping loss regresses the
     decoder's extra output channels against them."""

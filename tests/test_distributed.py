@@ -12,7 +12,7 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.fast
+pytestmark = pytest.mark.slow
 
 WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
 

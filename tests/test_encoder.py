@@ -78,6 +78,7 @@ def test_feature_prediction_shapes():
     assert out2.shape == (8, 8, 8, 4)
 
 
+@pytest.mark.slow
 def test_encoder_pretrain_improves_init(scene, trained_grid):
     """Train the level-0 encoder to amortize optimization; its predicted
     init must beat zero-init on held-out observations."""

@@ -24,6 +24,9 @@ from miso_tpu.ops.interp import (
 jax.config.update("jax_enable_x64", False)
 
 
+pytestmark = pytest.mark.fast
+
+
 def torch_grid_sample_3d(grid_xyzf, x, bound):
     """Oracle: reference-style grid_sample call (grid_modules.py:72-95).
 

@@ -49,6 +49,7 @@ def test_pe_shape():
     assert emb.shape == (5, pe_embedding_size())
 
 
+@pytest.mark.slow
 def test_isdf_trains(dataset):
     cfg = {"pose": {"num_poses": 2, "optimize": False},
            "grid": {"bound": [[-1, 1]] * 3},
@@ -69,6 +70,7 @@ def test_isdf_loss_default_runs(dataset):
     assert np.isfinite(float(d["sdf"]))
 
 
+@pytest.mark.slow
 def test_hashgrid_trains(dataset, sphere):
     cfg = {"grid": {"bound": [[-1, 1]] * 3},
            "hash": {"n_levels": 6, "feature_dim": 2, "base_resolution": 8,
@@ -82,6 +84,7 @@ def test_hashgrid_trains(dataset, sphere):
     _fit_and_eval(model, dataset, loss_fn, epochs=200, lr=5e-3, tol=0.08)
 
 
+@pytest.mark.slow
 def test_pointsdf_forward_and_grad(sphere):
     cfg = {"point": {"total_samples": 5000, "noise_threshold": 0.05,
                      "sample_ratio_surface": 0.4, "sample_ratio_random": 0.2,
@@ -126,6 +129,7 @@ def test_vm_grid_ops(rng):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_vm_gridnet_trains(dataset):
     """TensoRF-factorized GridNet (grid type 'VM') fits the sphere."""
     cfg = {"spatial_dim": 3,

@@ -9,6 +9,9 @@ import pytest
 from miso_tpu.native import TriangleMesh, marching_cubes
 
 
+pytestmark = pytest.mark.fast
+
+
 def sphere_field(n=48, r=0.6):
     ax = np.linspace(-1, 1, n)
     X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")

@@ -14,9 +14,10 @@ from miso_tpu.ops.interp import grid_decode, multi_level_interpolate
 from miso_tpu.ops.mlp import mlp_apply, mlp_init
 from miso_tpu.ops.pallas_decode import fused_interp_decode, pallas_decode
 
-pytestmark = pytest.mark.fast
 
 
+
+@pytest.mark.fast
 def test_pallas_decode_matches_mlp(rng):
     params = mlp_init(jax.random.PRNGKey(0), 8, 1, 64, 1, bias=True)
     x = jnp.asarray(rng.standard_normal((1000, 8)).astype(np.float32))
@@ -26,6 +27,7 @@ def test_pallas_decode_matches_mlp(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.fast
 def test_pallas_decode_grads(rng):
     params = mlp_init(jax.random.PRNGKey(1), 8, 1, 32, 1, bias=True)
     x = jnp.asarray(rng.standard_normal((300, 8)).astype(np.float32))
@@ -69,6 +71,7 @@ def _ref(grids, x, bound, decoder, ignore_level=None):
     return grid_decode(feats, x, decoder, True)
 
 
+@pytest.mark.fast
 def test_fused_interp_decode_value(rng):
     grids, bound, decoder, x = _setup(rng)
     ref = _ref(grids, x, bound, decoder)
@@ -77,6 +80,7 @@ def test_fused_interp_decode_value(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.fast
 def test_fused_interp_decode_ignore_level(rng):
     grids, bound, decoder, x = _setup(rng)
     ig = jnp.asarray([0.0, 1.0], jnp.float32)
@@ -111,7 +115,7 @@ def test_fused_interp_decode_second_order(rng):
     This is the capability the reference needed its CUDA grad2 kernel
     for (gridsample_cuda.cu:214, gradgradcheck in test3d.py).
     """
-    grids, bound, decoder, x = _setup(rng, N=200)
+    grids, bound, decoder, x = _setup(rng, N=48)
 
     def eik_ref(g, xx):
         grad_x = jax.vmap(jax.grad(
@@ -136,6 +140,7 @@ def test_fused_interp_decode_second_order(rng):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.fast
 def test_fused_interp_decode_sized(rng):
     """Padded-storage path: logical sizes < static shapes."""
     grids, bound, decoder, x = _setup(rng)

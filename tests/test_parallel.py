@@ -31,6 +31,7 @@ MODEL_CFG = {
 }
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(rng):
     verts, tris = icosphere(2, 0.7)
     ds = Sdf3D(TriangleMesh(verts, tris), batch_size=2**12,
@@ -62,6 +63,7 @@ def test_data_parallel_matches_single_device(rng):
                                np.asarray(mN.features[0]), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 

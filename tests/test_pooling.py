@@ -1,8 +1,12 @@
 """Pooling / voxel ops tests vs torch scatter reference semantics."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from miso_tpu.ops.pooling import grid_pool_avg, voxel_down_sample_indices
+
+
+pytestmark = pytest.mark.fast
 
 
 def test_grid_pool_avg_matches_manual(rng):

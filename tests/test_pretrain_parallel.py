@@ -20,7 +20,7 @@ from miso_tpu.parallel.pretrain import (build_scene_stack, scene_tsdf_loss,
 from miso_tpu.parallel.sharding import make_mesh
 from miso_tpu.train.optim import masked_adam_init
 
-pytestmark = pytest.mark.fast
+pytestmark = pytest.mark.slow
 
 CFG = {
     "spatial_dim": 3,
@@ -45,10 +45,12 @@ def scenes():
 
 
 def test_scene_parallel_gradient_parity(scenes, rng):
+    scenes = scenes[:2]  # parity is per-pair math; 2 scenes compile faster
     atlas = build_scene_stack(CFG, [ds.bound for ds in scenes],
                               jax.random.PRNGKey(0))
     params = atlas.params
-    batches = stack_scene_batches([ds.sample(rng) for ds in scenes])
+    batches = stack_scene_batches([{k: v[:256] for k, v in ds.sample(rng).items()}
+                                   for ds in scenes])
     key = jax.random.PRNGKey(5)
     S = len(scenes)
     keys = jax.random.split(key, S)

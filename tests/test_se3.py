@@ -1,4 +1,5 @@
 """SE(3)/SO(3) property tests (replaces pytorch3d functionality)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +7,8 @@ import numpy as np
 from miso_tpu.ops import se3
 
 
+
+@pytest.mark.fast
 def test_exp_log_roundtrip(rng):
     w = rng.standard_normal((64, 3)) * 0.7
     R = se3.so3_exp(jnp.asarray(w))
@@ -25,6 +28,7 @@ def test_exp_small_angle_smooth():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.fast
 def test_transform_roundtrip(rng):
     pts = jnp.asarray(rng.standard_normal((100, 3)))
     R = se3.so3_exp(jnp.asarray(rng.standard_normal(3) * 0.5))
@@ -64,6 +68,7 @@ def test_pose_composition(rng):
     np.testing.assert_allclose(np.asarray(t_back), np.asarray(t_sk), atol=1e-5)
 
 
+@pytest.mark.fast
 def test_apply_get_pose_correction(rng):
     R = se3.so3_exp(jnp.asarray(rng.standard_normal(3) * 0.2))
     t = jnp.asarray(rng.standard_normal(3))
@@ -75,6 +80,7 @@ def test_apply_get_pose_correction(rng):
     np.testing.assert_allclose(np.asarray(dt2), np.asarray(dt), atol=1e-5)
 
 
+@pytest.mark.fast
 def test_coords_in_bound():
     bound = jnp.asarray(np.array([[0.0, 1.0], [0.0, 1.0], [0.0, 1.0]]))
     pts = jnp.asarray(np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [0.0, 1.0, 0.5]]))
@@ -82,6 +88,7 @@ def test_coords_in_bound():
     np.testing.assert_allclose(np.asarray(m).ravel(), [1.0, 0.0, 1.0])
 
 
+@pytest.mark.fast
 def test_rotation_metrics(rng):
     R1 = se3.so3_exp(jnp.asarray(rng.standard_normal((8, 3)) * 0.2))
     np.testing.assert_allclose(float(se3.rotation_rmse_deg(R1, R1)), 0.0, atol=1e-2)

@@ -116,6 +116,7 @@ def train_grid_on_sequence(seq, kfs, epochs=120):
     return tr.train()
 
 
+@pytest.mark.slow
 def test_lm_tracker_converges(seq):
     kfs = list(range(8))
     model = train_grid_on_sequence(seq, kfs)
@@ -138,6 +139,7 @@ def test_lm_tracker_converges(seq):
     assert 0.5 < tracker.latest_fov_overlap <= 1.0
 
 
+@pytest.mark.slow
 def test_system_runs_full_slam(seq, pretrained_decoder_path):
     model_cfg = dict(MODEL_CFG)
     model_cfg["decoder"] = dict(MODEL_CFG["decoder"], fix=True,
@@ -162,6 +164,7 @@ def test_system_runs_full_slam(seq, pretrained_decoder_path):
     assert np.abs(sdf).mean() < 0.15, np.abs(sdf).mean()
 
 
+@pytest.mark.slow
 def test_system_checkpoint_resume(seq, pretrained_decoder_path, tmp_path):
     """Save a mid-stream SLAM checkpoint, resume in a fresh System, and
     finish the sequence (capability beyond the reference, which has no

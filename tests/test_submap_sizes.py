@@ -14,7 +14,6 @@ from miso_tpu.losses.fusion import posed_sdf_loss_3d_submap
 from miso_tpu.losses.isdf_loss import isdf_loss_submap
 from miso_tpu.models.grid_atlas import GridAtlas
 
-pytestmark = pytest.mark.fast
 
 CFG = {
     "spatial_dim": 3,
@@ -116,25 +115,25 @@ def test_isdf_submap_loss_finite_on_mixed_bounds(rng):
 def test_capacity_preallocated_atlas_growth(rng):
     """add_submap with preallocated capacity is a slot write: the grid
     buffers are NOT re-stacked/re-uploaded (VERDICT round-1 item 7)."""
-    atlas = GridAtlas(CFG, max_kfs_per_submap=2, capacity=8)
+    atlas = GridAtlas(CFG, max_kfs_per_submap=2, capacity=4)
     bound = np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32)
     atlas.add_submap(bound)
     atlas.add_kf()
     feat0 = atlas.params.features[0]
     in_place = 0
-    for s in range(1, 12):  # exceeds capacity 8 -> one geometric regrow
+    for s in range(1, 7):  # exceeds capacity 4 -> one geometric regrow
         before = atlas.params.features[0]
         atlas.add_submap(bound, tws=np.array([0.1 * s, 0, 0], np.float32))
         atlas.add_kf()
         if atlas.params.features[0] is before:
             in_place += 1
     # 11 adds: all but the capacity-overflow realloc are in-place.
-    assert in_place >= 10, in_place
-    assert atlas.params.Rws.shape[0] >= 12
-    assert atlas.num_submaps == 12
+    assert in_place >= 5, in_place
+    assert atlas.params.Rws.shape[0] >= 7
+    assert atlas.num_submaps == 7
     # Active mask marks live slots only.
     act = np.asarray(atlas.params.active)
-    assert act[:12].all() and not act[12:].any()
+    assert act[:7].all() and not act[7:].any()
     # Spare slots are inert: forward over active submaps is finite and
     # far points see zero features.
     x = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))

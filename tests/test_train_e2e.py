@@ -63,6 +63,7 @@ def sphere():
     return TriangleMesh(verts, tris)
 
 
+@pytest.mark.slow
 def test_gridnet_trains_sphere(sphere):
     dataset = Sdf3D(sphere, batch_size=2**13, total_samples=2**16,
                     surface_stddev=0.05, bound_buffer=0.5, trunc_dist=0.3)
@@ -108,6 +109,7 @@ def test_trainer_masks_freeze_params(sphere):
     assert np.abs(np.asarray(out.features[0]) - before_l0).max() > 0
 
 
+@pytest.mark.slow
 def test_bf16_features():
     """bfloat16 feature storage (grid.feature_dtype) trains to the same
     quality as float32 -- the TPU bench relies on this equivalence."""

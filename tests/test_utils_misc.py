@@ -1,4 +1,5 @@
 """Coverage for meshing extras, profiling, vis, eval utilities."""
+import pytest
 import os
 
 import jax
@@ -8,6 +9,9 @@ import numpy as np
 from miso_tpu.utils.eval import trajectory_error, umeyama_alignment
 from miso_tpu.utils.profiling import PerfTimer, time_jitted
 from miso_tpu.utils.sdf import observed_sdf_query, sphere_tracing
+
+
+pytestmark = pytest.mark.fast
 
 
 def test_sphere_tracing():
