@@ -91,14 +91,18 @@ def global_mesh(axes: Sequence[str] = ("data",),
     return Mesh(devs.reshape(shape), tuple(axes))
 
 
-def make_global_batch(local_batch: Dict, mesh, axis: str = "data") -> Dict:
+def make_global_batch(local_batch: Dict, mesh, axis="data") -> Dict:
     """Assemble process-spanning global arrays from per-process batches.
 
     Each process passes ITS shard of the batch (local N rows); the
-    returned arrays are global jax.Arrays of shape (N * num_shards, ...)
-    sharded over ``axis``.  Arrays whose leading dim doesn't tile the
-    axis are treated as replicated (every process must pass the same
-    values).
+    returned arrays are global jax.Arrays sharded over ``axis`` (a mesh
+    axis name or tuple of names -- the leading dim shards over their
+    product).
+
+    IMPORTANT: when ``axis`` does not include the process-spanning mesh
+    axis, the arrays are replicated across processes and every process
+    MUST pass identical values; on a multi-axis mesh pass e.g.
+    ``axis=("submap", "data")`` so per-rank batch shards are legal.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -93,6 +93,67 @@ def main():
     print(f"RANK{pid} LOSSES " + " ".join(f"{l:.8f}" for l in losses),
           flush=True)
 
+    # -- stage 2: submap-parallel fusion over a 2D (submap x data) mesh,
+    # submap axis spanning PROCESSES (DCN), data axis within (ICI) -----
+    from miso_tpu.losses.fusion import fusion_loss
+    from miso_tpu.models.grid_atlas import GridAtlas, grid_atlas_mask
+    from miso_tpu.parallel.sharding import submap_parallel_fusion_step
+
+    mesh2 = dist.global_mesh(("submap", "data"))   # (2 proc, 2 dev)
+    atlas = GridAtlas(cfg, max_kfs_per_submap=1)
+    for s in range(2):  # one submap per process shard
+        atlas.add_submap(np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32),
+                         tws=np.array([0.5 * s, 0, 0], np.float32))
+        atlas.add_kf()
+    params = dist.replicate_global(atlas.params, mesh2)
+    # Shard the stacked submap axis over DCN.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def place(x):
+        arr = np.asarray(x)
+        if arr.ndim >= 1 and arr.shape[0] == 2:
+            half = arr[pid:pid + 1]
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh2, P("submap", *([None] * (arr.ndim - 1)))),
+                half)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh2, P()), arr)
+
+    params = jax.tree_util.tree_map(place, atlas.params)
+    mask2 = dist.replicate_global(
+        grid_atlas_mask(atlas.params, features=True, stability=True,
+                        kf_pose=True, submap_pose=True), mesh2)
+    from miso_tpu.train.optim import masked_adam_init as mai
+    opt2 = jax.tree_util.tree_map(place, jax.device_get(mai(atlas.params))) \
+        if False else mai(params)
+    rngf = np.random.default_rng(7 + pid)
+    Nf = 256
+    localf = {
+        "coords_frame": rngf.uniform(-0.8, 0.8, (Nf, 3)).astype(np.float32),
+        "sample_frame_ids": rngf.integers(0, 2, (Nf,)).astype(np.int32),
+        "weights": np.ones((Nf, 1), np.float32),
+        "sdf": rngf.uniform(-0.2, 0.2, (Nf, 1)).astype(np.float32),
+        "sdf_valid": np.ones((Nf, 1), np.float32),
+        "sdf_signs": np.zeros((Nf, 1), np.float32),
+    }
+    # Shard the point batch over BOTH axes (submap spans processes):
+    # each rank's rows land in its own shard of the global batch.
+    batchf = dist.make_global_batch(localf, mesh2, axis=("submap", "data"))
+
+    def loss_fn(p, b, k):
+        return fusion_loss(p, b, k, loss_type="L1", weight_sdf=1.0,
+                           weight_eik=0.0, weight_fs=0.1, trunc_dist=0.15)
+
+    stepf = submap_parallel_fusion_step(loss_fn, mesh2)
+    with mesh2:
+        p2, o2, tlf = stepf(params, opt2, batchf, jax.random.PRNGKey(0),
+                            mask2, jnp.float32(1e-3))
+        tlf.block_until_ready()
+    assert np.isfinite(float(tlf)), float(tlf)
+    d0 = float(jnp.abs(p2.features[0] - params.features[0]).max())
+    assert d0 > 0, "fusion step did not update features"
+    print(f"RANK{pid} FUSION {float(tlf):.8f} dfeat={d0:.3e}", flush=True)
+
 
 if __name__ == "__main__":
     main()

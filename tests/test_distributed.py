@@ -50,3 +50,9 @@ def test_two_process_data_parallel_training():
     # Both ranks computed the SAME global losses (the psum crossed DCN).
     vals = [l.split("LOSSES")[1] for l in lines]
     assert vals[0] == vals[1], f"ranks disagree:\n{lines[0]}\n{lines[1]}"
+    # Stage 2: submap-parallel fusion step over the 2D (submap x data)
+    # mesh ran and both ranks agree on the global loss.
+    fusion = [next(l for l in o.splitlines() if "FUSION" in l) for o in outs]
+    f0 = fusion[0].split("FUSION")[1]
+    f1 = fusion[1].split("FUSION")[1]
+    assert f0 == f1, f"fusion disagree:\n{fusion[0]}\n{fusion[1]}"
