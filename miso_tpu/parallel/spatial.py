@@ -66,32 +66,39 @@ def _interp_slab(f_ext: jnp.ndarray, u: jnp.ndarray, shift: jnp.ndarray,
     slab's first x-row; validity uses the LOGICAL global sizes
     (identical zeros-padding semantics to ops.interp.grid_interpolate).
     """
+    # Columnar per-axis math + ONE batched corner gather -- same layout
+    # rules as ops.interp.grid_interpolate (minor-dim (N, d) reductions
+    # are pathologically slow on TPU; see its docstring).
     d = u.shape[-1]
     F = f_ext.shape[-1]
-    S_ext = f_ext.shape[0]                     # S + 1 (slab + halo)
-    i0 = jnp.floor(u).astype(jnp.int32)
-    frac = u - jnp.floor(u)
+    N = u.shape[0]
     flat = f_ext.reshape(-1, F)
     spatial = f_ext.shape[:-1]
     strides = [1] * d
     for k in range(d - 2, -1, -1):
         strides[k] = strides[k + 1] * spatial[k + 1]
-    strides = jnp.asarray(strides, jnp.int32)
-    local_max = jnp.asarray((S_ext - 1,) + tuple(s - 1 for s in spatial[1:]),
-                            jnp.int32)
-
-    out = jnp.zeros((u.shape[0], F), dtype=f_ext.dtype)
+    cols = []
+    for k in range(d):
+        uk = u[:, k]
+        i0k = jnp.floor(uk)
+        cols.append((i0k.astype(jnp.int32), uk - i0k))
+    mine_f = mine.astype(u.dtype)
+    lin_all, w_all = [], []
     for corner in itertools.product((0, 1), repeat=d):
-        offs = jnp.asarray(corner, jnp.int32)
-        idx_g = i0 + offs
-        w = jnp.prod(jnp.where(offs == 1, frac, 1.0 - frac), axis=-1)
-        valid = jnp.all((idx_g >= 0) & (idx_g < sizes_logical), axis=-1)
-        w = w * valid.astype(w.dtype) * mine.astype(w.dtype)
-        idx_l = idx_g.at[:, 0].add(-shift)
-        idx_l = jnp.clip(idx_l, 0, local_max)
-        lin = jnp.sum(idx_l * strides, axis=-1)
-        out = out + w[:, None] * jnp.take(flat, lin, axis=0)
-    return out
+        lin = jnp.zeros(N, jnp.int32)
+        w = mine_f
+        ok = jnp.ones(N, jnp.bool_)
+        for k in range(d):
+            i0k, frk = cols[k]
+            ik = i0k + corner[k]
+            ok = ok & (ik >= 0) & (ik < sizes_logical[k])
+            il = ik - shift if k == 0 else ik
+            lin = lin + jnp.clip(il, 0, spatial[k] - 1) * strides[k]
+            w = w * (frk if corner[k] == 1 else 1.0 - frk)
+        lin_all.append(lin)
+        w_all.append(w * ok.astype(w.dtype))
+    cf = jnp.take(flat, jnp.concatenate(lin_all), axis=0).reshape(2 ** d, N, F)
+    return jnp.einsum("cn,cnf->nf", jnp.stack(w_all), cf)
 
 
 def sharded_grid_interpolate(grid_sharded: jnp.ndarray, x: jnp.ndarray,
