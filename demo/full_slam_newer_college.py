@@ -146,12 +146,7 @@ def main():
         # gravity-aligned submaps; real NCD poses are roughly level).
         R0 = np.eye(3, dtype=np.float32)
     if args.synthetic:
-        atlas.cfg_model["decoder"]["fix"] = True
-        _orig_rebuild = atlas._rebuild_params
-        def _rebuild_with_decoder(*a, **k):
-            _orig_rebuild(*a, **k)
-            atlas.params = atlas.params.replace(decoder=dec)
-        atlas._rebuild_params = _rebuild_with_decoder
+        atlas.set_decoder(dec, fixed=True)
     t_start = time.time()
     system = System(atlas, ds_track, ds_map, cfg,
                     R_world_origin=R0, t_world_origin=t0)

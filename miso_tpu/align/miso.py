@@ -40,138 +40,64 @@ def _submap_view(atlas: GridAtlas, s: int):
                                         atlas.anchor_kf_for_submap(s))
 
 
-def pairwise_loss_latent(params: GridAtlasParams, atlas: GridAtlas,
-                         src: int, dst: int, level: int,
-                         coords_from, valid_from,
-                         align_weight=3000.0, align_loss="L2",
-                         use_bound=True, stability_thresh=0.0,
-                         trunc_factor=None, key=None,
-                         subsample_points=None):
-    """Latent alignment residual for one submap pair (miso.py:116-211).
+# One shared mask/residual body serves BOTH pair-loss code paths; only
+# the submap query mechanism differs:
+#   * _view_queries  -- static submap index, unpadded GridNet view
+#     (the reference-style unrolled loop, vmap_pairs=False);
+#   * _padded_queries -- traced submap index, size-aware padded-storage
+#     queries (the vmapped default).
 
-    coords_from: (P, 3) precomputed valid grid-vertex coords of src at
-    ``level`` (padded); valid_from: (P, 1) pad mask.  Compares
-    interpolated features over channels [0, fdim*(level+1)).
-    """
-    fdim = params.fdim
-    end_ch = fdim * (level + 1)
-    sub_from = params.submap(s=src, shapes=atlas.submap_shapes(src))
-    sub_to = params.submap(s=dst, shapes=atlas.submap_shapes(dst))
+def _view_queries(params: GridAtlasParams, atlas: GridAtlas, s: int):
+    sub = params.submap(s=s, shapes=atlas.submap_shapes(s))
+    return {"feature": sub.query_feature, "stability": sub.query_stability,
+            "sdf": sub, "bound": sub.bound}
+
+
+def _padded_queries(params: GridAtlasParams, s):
+    return {"feature": lambda x: params.query_feature_submap(s, x),
+            "stability": lambda x: params.query_stability_submap(s, x),
+            "sdf": lambda x: params.forward_submap(s, x),
+            "bound": params.bounds[s]}
+
+
+def _subsample(coords_from, valid_from, key, subsample_points):
     if subsample_points is not None and key is not None:
         idx = jax.random.choice(key, coords_from.shape[0],
                                 (min(subsample_points, coords_from.shape[0]),),
                                 replace=False)
-        coords_from = coords_from[idx]
-        valid_from = valid_from[idx]
-    coords_to = _pair_points(params, coords_from, src, dst)
+        return coords_from[idx], valid_from[idx]
+    return coords_from, valid_from
+
+
+def _pair_mask(params, qf, qt, src, dst, coords_from, coords_to, valid_from,
+               use_bound, stability_thresh):
     mask = valid_from
     if use_bound:
-        mask = mask * se3.coords_in_bound(coords_to, sub_to.bound)
+        mask = mask * se3.coords_in_bound(coords_to, qt["bound"])
     if stability_thresh > 0:
-        mu_to = sub_to.query_stability(coords_to)[:, :1]
-        mu_from = sub_from.query_stability(coords_from)[:, :1]
+        mu_to = qt["stability"](coords_to)[:, :1]
+        mu_from = qf["stability"](coords_from)[:, :1]
         mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
+    return mask
+
+
+def _latent_pair_core(params, qf, qt, src, dst, level, coords_from,
+                      valid_from, align_loss, use_bound, stability_thresh,
+                      trunc_factor, key, subsample_points):
+    """Latent alignment residual for one submap pair (miso.py:116-211):
+    compares interpolated features over channels [0, fdim*(level+1))."""
+    end_ch = params.fdim * (level + 1)
+    coords_from, valid_from = _subsample(coords_from, valid_from, key,
+                                         subsample_points)
+    coords_to = _pair_points(params, coords_from, src, dst)
+    mask = _pair_mask(params, qf, qt, src, dst, coords_from, coords_to,
+                      valid_from, use_bound, stability_thresh)
     if trunc_factor is not None:
-        sdf_from = sub_from(coords_from)
+        sdf_from = qf["sdf"](coords_from)
         cell = params.cell_sizes[level]
         mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
-    f_from = sub_from.query_feature(coords_from)[:, :end_ch]
-    f_to = sub_to.query_feature(coords_to)[:, :end_ch]
-    c = f_from - f_to
-    count = jnp.maximum(jnp.sum(mask), 1.0)
-    if align_loss == "L2":
-        loss = jnp.sum(mask * c**2) / (count * end_ch)
-    elif align_loss == "L1":
-        loss = jnp.sum(mask[:, 0] * jnp.linalg.norm(c, axis=1)) / count
-    elif align_loss == "cos":
-        num = jnp.sum(f_from * f_to, axis=1, keepdims=True)
-        den = (jnp.linalg.norm(f_from, axis=1, keepdims=True)
-               * jnp.linalg.norm(f_to, axis=1, keepdims=True))
-        loss = jnp.sum(mask * (1.0 - num / jnp.maximum(den, 1e-8))) / count
-    elif align_loss == "InfoNCE":
-        from miso_tpu.losses.common import info_nce_loss
-        loss = info_nce_loss(f_from, f_to, mask)
-    else:
-        raise ValueError(f"Invalid align loss: {align_loss}")
-    return {f"align_latent_level{level}_{src}_{dst}": loss * align_weight}
-
-
-def pairwise_loss_sdf(params: GridAtlasParams, atlas: GridAtlas,
-                      src: int, dst: int,
-                      coords_from, valid_from,
-                      align_weight=3000.0, align_loss="L2",
-                      use_bound=True, stability_thresh=0.0,
-                      gm_scale_sdf=0.1, key=None, subsample_points=None):
-    """SDF-space alignment (miso.py:14-113): decoded SDFs of both submaps
-    compared at shared points.  Uses the precomputed alignment coords as
-    the sample set (the reference samples frame points from the loader;
-    behaviorally both are near-surface src-submap points)."""
-    sub_from = params.submap(s=src, shapes=atlas.submap_shapes(src))
-    sub_to = params.submap(s=dst, shapes=atlas.submap_shapes(dst))
-    if subsample_points is not None and key is not None:
-        idx = jax.random.choice(key, coords_from.shape[0],
-                                (min(subsample_points, coords_from.shape[0]),),
-                                replace=False)
-        coords_from = coords_from[idx]
-        valid_from = valid_from[idx]
-    coords_to = _pair_points(params, coords_from, src, dst)
-    mask = valid_from
-    if use_bound:
-        mask = mask * se3.coords_in_bound(coords_to, sub_to.bound)
-    if stability_thresh > 0:
-        mu_to = sub_to.query_stability(coords_to)[:, :1]
-        mu_from = sub_from.query_stability(coords_from)[:, :1]
-        mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
-    out_from = sub_from(coords_from)
-    out_to = sub_to(coords_to)
-    c = out_from - out_to
-    count = jnp.maximum(jnp.sum(mask), 1.0)
-    if align_loss == "L2":
-        loss = jnp.sum(mask * c**2) / count
-    elif align_loss == "L1":
-        loss = jnp.sum(mask[:, 0] * jnp.linalg.norm(c, axis=1)) / count
-    elif align_loss == "GM":
-        loss = jnp.sum(mask * gm_weighted_sq(c, gm_scale_sdf)) / count
-    else:
-        raise ValueError(f"Invalid align loss: {align_loss}")
-    return {f"align_sdf_{src}_{dst}": loss * align_weight}
-
-
-# ---------------------------------------------------------------------------
-# Vmapped pair losses: one vmap over a stacked pair axis instead of a
-# Python-unrolled pair loop.  Compile time is flat in the number of
-# submaps/pairs (the reference -- and our unrolled path -- re-traces per
-# pair, align/base.py:127-146).  Relies on the padded stacked atlas
-# storage + size-aware per-submap queries, so submap indices can be
-# traced values.
-# ---------------------------------------------------------------------------
-
-def _latent_pair_scalar(params, src, dst, level, coords_from, valid_from,
-                        align_loss, use_bound, stability_thresh,
-                        trunc_factor, key, subsample_points):
-    """Scalar latent residual for one (src, dst) pair; src/dst traced."""
-    fdim = params.fdim
-    end_ch = fdim * (level + 1)
-    if subsample_points is not None and key is not None:
-        idx = jax.random.choice(key, coords_from.shape[0],
-                                (min(subsample_points, coords_from.shape[0]),),
-                                replace=False)
-        coords_from = coords_from[idx]
-        valid_from = valid_from[idx]
-    coords_to = _pair_points(params, coords_from, src, dst)
-    mask = valid_from
-    if use_bound:
-        mask = mask * se3.coords_in_bound(coords_to, params.bounds[dst])
-    if stability_thresh > 0:
-        mu_to = params.query_stability_submap(dst, coords_to)[:, :1]
-        mu_from = params.query_stability_submap(src, coords_from)[:, :1]
-        mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
-    if trunc_factor is not None:
-        sdf_from = params.forward_submap(src, coords_from)
-        cell = params.cell_sizes[level]
-        mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
-    f_from = params.query_feature_submap(src, coords_from)[:, :end_ch]
-    f_to = params.query_feature_submap(dst, coords_to)[:, :end_ch]
+    f_from = qf["feature"](coords_from)[:, :end_ch]
+    f_to = qt["feature"](coords_to)[:, :end_ch]
     c = f_from - f_to
     count = jnp.maximum(jnp.sum(mask), 1.0)
     if align_loss == "L2":
@@ -189,27 +115,17 @@ def _latent_pair_scalar(params, src, dst, level, coords_from, valid_from,
     raise ValueError(f"Invalid align loss: {align_loss}")
 
 
-def _sdf_pair_scalar(params, src, dst, coords_from, valid_from, align_loss,
-                     use_bound, stability_thresh, gm_scale_sdf, key,
-                     subsample_points):
-    """Scalar SDF residual for one (src, dst) pair; src/dst traced."""
-    if subsample_points is not None and key is not None:
-        idx = jax.random.choice(key, coords_from.shape[0],
-                                (min(subsample_points, coords_from.shape[0]),),
-                                replace=False)
-        coords_from = coords_from[idx]
-        valid_from = valid_from[idx]
+def _sdf_pair_core(params, qf, qt, src, dst, coords_from, valid_from,
+                   align_loss, use_bound, stability_thresh, gm_scale_sdf,
+                   key, subsample_points):
+    """SDF-space alignment (miso.py:14-113): decoded SDFs of both submaps
+    compared at shared points."""
+    coords_from, valid_from = _subsample(coords_from, valid_from, key,
+                                         subsample_points)
     coords_to = _pair_points(params, coords_from, src, dst)
-    mask = valid_from
-    if use_bound:
-        mask = mask * se3.coords_in_bound(coords_to, params.bounds[dst])
-    if stability_thresh > 0:
-        mu_to = params.query_stability_submap(dst, coords_to)[:, :1]
-        mu_from = params.query_stability_submap(src, coords_from)[:, :1]
-        mask = mask * (mu_to > stability_thresh) * (mu_from > stability_thresh)
-    out_from = params.forward_submap(src, coords_from)
-    out_to = params.forward_submap(dst, coords_to)
-    c = out_from - out_to
+    mask = _pair_mask(params, qf, qt, src, dst, coords_from, coords_to,
+                      valid_from, use_bound, stability_thresh)
+    c = qf["sdf"](coords_from) - qt["sdf"](coords_to)
     count = jnp.maximum(jnp.sum(mask), 1.0)
     if align_loss == "L2":
         return jnp.sum(mask * c**2) / count
@@ -218,6 +134,73 @@ def _sdf_pair_scalar(params, src, dst, coords_from, valid_from, align_loss,
     if align_loss == "GM":
         return jnp.sum(mask * gm_weighted_sq(c, gm_scale_sdf)) / count
     raise ValueError(f"Invalid align loss: {align_loss}")
+
+
+def pairwise_loss_latent(params: GridAtlasParams, atlas: GridAtlas,
+                         src: int, dst: int, level: int,
+                         coords_from, valid_from,
+                         align_weight=3000.0, align_loss="L2",
+                         use_bound=True, stability_thresh=0.0,
+                         trunc_factor=None, key=None,
+                         subsample_points=None):
+    """Latent alignment residual for one pair (unrolled path).
+
+    coords_from: (P, 3) precomputed valid grid-vertex coords of src at
+    ``level`` (padded); valid_from: (P, 1) pad mask.
+    """
+    loss = _latent_pair_core(
+        params, _view_queries(params, atlas, src),
+        _view_queries(params, atlas, dst), src, dst, level, coords_from,
+        valid_from, align_loss, use_bound, stability_thresh, trunc_factor,
+        key, subsample_points)
+    return {f"align_latent_level{level}_{src}_{dst}": loss * align_weight}
+
+
+def pairwise_loss_sdf(params: GridAtlasParams, atlas: GridAtlas,
+                      src: int, dst: int,
+                      coords_from, valid_from,
+                      align_weight=3000.0, align_loss="L2",
+                      use_bound=True, stability_thresh=0.0,
+                      gm_scale_sdf=0.1, key=None, subsample_points=None):
+    """SDF-space alignment for one pair (unrolled path).  Uses the
+    precomputed alignment coords as the sample set (the reference samples
+    frame points from the loader; behaviorally both are near-surface
+    src-submap points)."""
+    loss = _sdf_pair_core(
+        params, _view_queries(params, atlas, src),
+        _view_queries(params, atlas, dst), src, dst, coords_from,
+        valid_from, align_loss, use_bound, stability_thresh, gm_scale_sdf,
+        key, subsample_points)
+    return {f"align_sdf_{src}_{dst}": loss * align_weight}
+
+
+# ---------------------------------------------------------------------------
+# Vmapped pair losses: one vmap over a stacked pair axis instead of a
+# Python-unrolled pair loop.  Compile time is flat in the number of
+# submaps/pairs (the reference -- and our unrolled path -- re-traces per
+# pair, align/base.py:127-146).  Relies on the padded stacked atlas
+# storage + size-aware per-submap queries, so submap indices can be
+# traced values.
+# ---------------------------------------------------------------------------
+
+def _latent_pair_scalar(params, src, dst, level, coords_from, valid_from,
+                        align_loss, use_bound, stability_thresh,
+                        trunc_factor, key, subsample_points):
+    """Scalar latent residual for one (src, dst) pair; src/dst traced."""
+    return _latent_pair_core(
+        params, _padded_queries(params, src), _padded_queries(params, dst),
+        src, dst, level, coords_from, valid_from, align_loss, use_bound,
+        stability_thresh, trunc_factor, key, subsample_points)
+
+
+def _sdf_pair_scalar(params, src, dst, coords_from, valid_from, align_loss,
+                     use_bound, stability_thresh, gm_scale_sdf, key,
+                     subsample_points):
+    """Scalar SDF residual for one (src, dst) pair; src/dst traced."""
+    return _sdf_pair_core(
+        params, _padded_queries(params, src), _padded_queries(params, dst),
+        src, dst, coords_from, valid_from, align_loss, use_bound,
+        stability_thresh, gm_scale_sdf, key, subsample_points)
 
 
 def make_vmapped_pair_loss(kind: str, level: Optional[int] = None,
@@ -387,6 +370,12 @@ def align_multiple_submaps_hierarchical(
          for j in range(i + 1, atlas.num_submaps)]
     pairs = [(i, j) for (i, j) in pairs
              if atlas.check_submap_intersection(i, j)]
+    if not pairs:
+        # Single submap / no overlapping pairs: alignment is a no-op
+        # (the reference's pair loop simply never executes).
+        info["cpu_time_sec"] = 0.0
+        info["gpu_time_sec"] = 0.0
+        return info
 
     def pair_ctx(coords):
         src = jnp.asarray([s for s, _ in pairs], jnp.int32)

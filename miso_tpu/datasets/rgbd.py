@@ -116,8 +116,17 @@ class PosedRgbdBase(SubmapDataset):
             raise ValueError(f"Unsupported CLIP feature file: {p}")
 
         if os.path.isdir(path):
-            files = sorted(f for f in os.listdir(path)
-                           if f.endswith((".npy", ".npz", ".pt")))
+            import re
+
+            def natural(name):
+                # Numeric-aware order: frame_2 before frame_10 even
+                # without zero padding.
+                return [int(t) if t.isdigit() else t
+                        for t in re.split(r"(\d+)", name)]
+
+            files = sorted((f for f in os.listdir(path)
+                            if f.endswith((".npy", ".npz", ".pt"))),
+                           key=natural)
             feats = np.stack([_one(os.path.join(path, f)) for f in files])
         else:
             feats = _one(path)

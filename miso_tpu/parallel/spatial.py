@@ -68,7 +68,11 @@ def _interp_slab(f_ext: jnp.ndarray, u: jnp.ndarray, shift: jnp.ndarray,
     """
     # Columnar per-axis math + ONE batched corner gather -- same layout
     # rules as ops.interp.grid_interpolate (minor-dim (N, d) reductions
-    # are pathologically slow on TPU; see its docstring).
+    # are pathologically slow on TPU; see its docstring).  This is a
+    # deliberate sibling of corner_indices_and_weights specialized with
+    # the slab shift / ownership mask / storage clipping; drift between
+    # the two is locked out by test_spatial_sharding's exact parity
+    # against the unsharded grid_interpolate.
     d = u.shape[-1]
     F = f_ext.shape[-1]
     N = u.shape[0]

@@ -58,7 +58,10 @@ def extract_fields(query_func: Callable, bound, resolution: int,
     pts_pad = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
     blocks = jnp.asarray(pts_pad.reshape(-1, chunk, 3))
 
-    if jax.tree_util.tree_leaves(query_func):
+    # A pytree-callable (GridNet / GridAtlasParams / ObservedQuery) has
+    # array leaves; a plain function/closure is its own (callable) leaf.
+    leaves = jax.tree_util.tree_leaves(query_func)
+    if leaves and all(hasattr(l, "dtype") for l in leaves):
         vals = np.asarray(_eval_blocks(query_func, blocks)).ravel()
     else:
         # Plain-closure fallback: still a single dispatch.

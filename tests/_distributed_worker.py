@@ -124,8 +124,7 @@ def main():
         grid_atlas_mask(atlas.params, features=True, stability=True,
                         kf_pose=True, submap_pose=True), mesh2)
     from miso_tpu.train.optim import masked_adam_init as mai
-    opt2 = jax.tree_util.tree_map(place, jax.device_get(mai(atlas.params))) \
-        if False else mai(params)
+    opt2 = mai(params)  # moments inherit the params' sharding
     rngf = np.random.default_rng(7 + pid)
     Nf = 256
     localf = {

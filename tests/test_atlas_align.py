@@ -304,3 +304,16 @@ def test_many_submap_alignment_one_jit():
     R, t = atlas.params.updated_submap_poses()
     err1 = float(np.linalg.norm(np.asarray(t) - true_t, axis=1).mean())
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+@pytest.mark.fast
+def test_alignment_noop_without_pairs():
+    """Single submap (or no intersecting pairs): alignment is a no-op,
+    not a crash (Fuser.align() runs on 1-submap SLAM sessions)."""
+    atlas = build_atlas(1)
+    info = align_multiple_submaps_hierarchical(atlas, level_iters=5,
+                                               skip_finetune=False)
+    assert info["cpu_time_sec"] == 0.0
+    far = build_atlas(2, offset=10.0)  # no overlap
+    info = align_multiple_submaps_hierarchical(far, level_iters=5)
+    np.testing.assert_allclose(np.asarray(far.params.sub_trans_corr), 0.0)

@@ -109,3 +109,19 @@ def test_trajectory_error_rotation_rmse(rng):
     assert out["ate_rmse"] < 1e-6
     exact = trajectory_error(gt, gt, align=True)
     assert exact["rot_rmse_deg"] < 1e-3
+
+
+def test_extract_fields_plain_callable(rng):
+    """extract_fields accepts a plain function query (documented API),
+    not only pytree-callables."""
+    from miso_tpu.utils.sdf import extract_fields
+
+    bound = np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32)
+    u = extract_fields(
+        lambda p: np.linalg.norm if False else
+        (jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5), bound, 16,
+        chunk=1024)
+    assert u.shape == (16, 16, 16)
+    c = -1 + 8 * (2 / 15)           # lattice node coordinate
+    expect = np.sqrt(3 * c * c) - 0.5
+    assert abs(float(u[8, 8, 8]) - expect) < 1e-5
