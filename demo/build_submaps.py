@@ -79,7 +79,8 @@ def main():
     cfg_dry["mapping"]["disable"] = True
     cfg_dry["visualizer"] = {"enable": False}
     atlas = GridAtlas(cfg["model"],
-                      max_kfs_per_submap=cfg["system"]["submap_size"])
+                      max_kfs_per_submap=cfg["system"]["submap_size"],
+                      capacity=cfg["system"].get("submap_capacity"))
     R0, t0 = dataset.noisy_kf_pose_in_world(0)
     system = System(atlas, dataset, dataset, cfg_dry,
                     R_world_origin=R0, t_world_origin=t0)

@@ -139,7 +139,8 @@ def main():
         dec = pretrain_decoder_synthetic(mesh_gt, cfg["model"], 0.5)
         cfg["model"]["decoder"]["fix"] = True
     atlas = GridAtlas(cfg["model"],
-                      max_kfs_per_submap=cfg["system"]["submap_size"])
+                      max_kfs_per_submap=cfg["system"]["submap_size"],
+                      capacity=cfg["system"].get("submap_capacity"))
     R0, t0 = ds_track.noisy_kf_pose_in_world(0)
     if args.synthetic:
         # Anchor the submap axis-aligned at the first pose (LiDAR-style

@@ -129,7 +129,8 @@ def main():
         dec = pretrain_decoder_synthetic(gt_mesh, cfg["model"], 0.3)
         cfg["model"]["decoder"]["fix"] = True
     atlas = GridAtlas(cfg["model"],
-                      max_kfs_per_submap=cfg["system"]["submap_size"])
+                      max_kfs_per_submap=cfg["system"]["submap_size"],
+                      capacity=cfg["system"].get("submap_capacity"))
     R0, t0 = dataset.noisy_kf_pose_in_world(0)
     if args.synthetic:
         atlas.set_decoder(dec, fixed=True)
