@@ -23,4 +23,34 @@ Key architectural differences from the CUDA/torch reference:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache, on by default.
+
+    TPU compiles are expensive (minutes through remote-compile
+    transports); caching them on disk makes every process after the
+    first start instantly.  Opt out with MISO_TPU_COMPILE_CACHE=0 or
+    point MISO_TPU_COMPILE_CACHE at a directory.
+    """
+    val = _os.environ.get("MISO_TPU_COMPILE_CACHE", "")
+    if val == "0":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return  # user already configured one
+        cache_dir = val or _os.path.join(
+            _os.path.expanduser("~"), ".cache", "miso_tpu_xla")
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # never block import on cache setup
+
+
+_enable_compile_cache()
+
 from miso_tpu import ops  # noqa: F401

@@ -27,47 +27,90 @@ def valid_mask_from_gt_sdf(gt_sdf, trunc_dist=0.15):
     return (jnp.abs(gt_sdf) < trunc_dist).astype(gt_sdf.dtype)
 
 
-@partial(jax.jit, static_argnames=())
-def _eval_blocks(query_pytree, blocks):
-    """lax.map over chunk blocks; query passed as a pytree ARGUMENT.
+_LATTICE_EVAL_CACHE = {}
 
-    Single device dispatch for the whole lattice.  Passing the model as
-    an argument (not a closure constant) matters on the axon tunnel:
-    executables with embedded device-array constants run ~100x slower
-    per call (measured; see ops/interp.py notes)."""
-    return jax.lax.map(lambda p: query_pytree(p).reshape(-1), blocks)
+
+def _lattice_chunk_pts(bound, res, start, chunk):
+    """On-device lattice coordinates for rows [start, start+chunk).
+
+    linspace(lo, hi, res) node k = lo + k * (hi - lo) / (res - 1); no
+    host meshgrid, no H2D point upload.  ``res``/``start`` are traced.
+    """
+    i = start + jnp.arange(chunk, dtype=jnp.int32)
+    res = jnp.int32(res)
+    ix = i // (res * res)
+    iy = (i // res) % res
+    iz = i % res
+    step = (bound[:, 1] - bound[:, 0]) / jnp.maximum(res - 1, 1).astype(
+        bound.dtype)
+    return jnp.stack([bound[0, 0] + ix * step[0],
+                      bound[1, 0] + iy * step[1],
+                      bound[2, 0] + iz * step[2]], axis=-1)
+
+
+def _lattice_eval(chunk: int, nb: int):
+    """Jitted whole-lattice evaluator: scan over ``nb`` fixed-size
+    chunks, cached per (chunk, nb).
+
+    ONE device dispatch per meshing call -- on this environment each
+    dispatch can cost tens of seconds under transport congestion, so
+    dispatch count, not FLOPs, dominates meshing time.  ``nb`` is
+    bucketed to powers of two by the caller, bounding the number of
+    distinct executables; ``res``/``start`` stay traced so buckets are
+    shared across resolutions and models of one structure.  The model
+    is an ARGUMENT, never a closure constant (~100x slow dispatch
+    otherwise; see ops/interp.py notes).
+    """
+    key = (chunk, nb)
+    if key in _LATTICE_EVAL_CACHE:
+        return _LATTICE_EVAL_CACHE[key]
+
+    @jax.jit
+    def f(query_pytree, bound, res):
+        def body(c, _):
+            pts = _lattice_chunk_pts(bound, res, c * chunk, chunk)
+            return c + 1, query_pytree(pts).reshape(-1)
+
+        _, out = jax.lax.scan(body, jnp.int32(0), None, length=nb)
+        return out.reshape(-1)
+
+    _LATTICE_EVAL_CACHE[key] = f
+    return f
 
 
 def extract_fields(query_func: Callable, bound, resolution: int,
-                   chunk: int = 262144) -> np.ndarray:
+                   chunk: int = 2 ** 21) -> np.ndarray:
     """Evaluate an SDF on a resolution^3 lattice spanning ``bound``.
 
     Lattice nodes are linspace(bound_min, bound_max, resolution) per axis
-    (matches reference utils_sdf.py:69-86).  The whole lattice runs as
-    ONE jitted lax.map over chunks -- one compile, one dispatch.  When
-    ``query_func`` is itself a pytree (a GridNet / GridAtlasParams /
-    ObservedQuery), it is passed as an argument so device buffers are
-    not baked into the executable.
+    (matches reference utils_sdf.py:69-86).  Runs as ONE jitted scan
+    over fixed-size chunks with on-device lattice generation (see
+    _lattice_eval); chunk count is bucketed to the next power of two
+    (extra rows evaluate past the lattice and are trimmed).
     """
-    b = np.asarray(bound, np.float32)
-    axes = [np.linspace(b[i, 0], b[i, 1], resolution, dtype=np.float32) for i in range(3)]
-    X, Y, Z = np.meshgrid(*axes, indexing="ij")
-    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
-    n = pts.shape[0]
-    pad = (-n) % chunk
-    pts_pad = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
-    blocks = jnp.asarray(pts_pad.reshape(-1, chunk, 3))
-
+    n = resolution ** 3
+    nb = -(-n // chunk)
+    bucket = 1
+    while bucket < nb:
+        bucket *= 2
+    b = jnp.asarray(np.asarray(bound, np.float32))
     # A pytree-callable (GridNet / GridAtlasParams / ObservedQuery) has
     # array leaves; a plain function/closure is its own (callable) leaf.
     leaves = jax.tree_util.tree_leaves(query_func)
     if leaves and all(hasattr(l, "dtype") for l in leaves):
-        vals = np.asarray(_eval_blocks(query_func, blocks)).ravel()
+        f = _lattice_eval(chunk, bucket)
+        vals = np.asarray(f(query_func, b, resolution))
     else:
-        # Plain-closure fallback: still a single dispatch.
-        fn = jax.jit(lambda blocks_: jax.lax.map(
-            lambda p: query_func(p).reshape(-1), blocks_))
-        vals = np.asarray(fn(blocks)).ravel()
+        # Plain-closure fallback (compiles once per extract_fields call).
+        def fc(bound_, res_):
+            def body(c, _):
+                pts = _lattice_chunk_pts(bound_, res_, c * chunk, chunk)
+                return c + 1, query_func(pts).reshape(-1)
+
+            _, out = jax.lax.scan(body, jnp.int32(0), None, length=bucket)
+            return out.reshape(-1)
+
+        vals = np.asarray(jax.jit(fc)(b, resolution))
     return vals[:n].reshape(resolution, resolution, resolution)
 
 
