@@ -79,7 +79,7 @@ def _lattice_eval(chunk: int, nb: int):
 
 
 def extract_fields(query_func: Callable, bound, resolution: int,
-                   chunk: int = 2 ** 21) -> np.ndarray:
+                   chunk: int = 2 ** 18) -> np.ndarray:
     """Evaluate an SDF on a resolution^3 lattice spanning ``bound``.
 
     Lattice nodes are linspace(bound_min, bound_max, resolution) per axis
