@@ -52,6 +52,10 @@ class Mapper:
             "grid_training_mode": cfg_train.get("grid_training_mode", "coordinate+joint"),
             "eval_every": -1,
             "ckpt_every": -1,
+            # Whole level segments run as ONE scanned dispatch (mapping
+            # bursts are the SLAM hot loop; dispatch count dominates on
+            # remote transports).  mapping.scan_steps: 1 disables.
+            "scan_steps": self.cfg["mapping"].get("scan_steps", 256),
         })
 
         def mask_for_level(model, level):

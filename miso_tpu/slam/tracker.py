@@ -186,7 +186,9 @@ class Tracker:
                              decoder=False, pose=True,
                              pose_rows=jnp.asarray(rows))
         cfg_train = {"verbose": self.verbose, "optimizer": "adam",
-                     "learning_rate": self.lr, "epochs": iterations}
+                     "learning_rate": self.lr, "epochs": iterations,
+                     # One scanned dispatch per window burst.
+                     "scan_steps": self.cfg["tracking"].get("scan_steps", 256)}
         trainer = Trainer(cfg_train, self.grid, self._tracking_loss_fn,
                           self.dataset, mask=mask)
         self.grid = trainer.train()

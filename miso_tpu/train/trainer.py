@@ -79,6 +79,60 @@ def make_train_step(loss_fn: Callable, optimizer: str = "adam"):
     return jitted
 
 
+_SCAN_CACHE: Dict = {}
+
+
+def make_train_scan(loss_fn: Callable, optimizer: str = "adam"):
+    """Multi-step train burst: k optimization steps in ONE jitted scan.
+
+    scan_fn(model, opt_state, batches, key, mask, lr) ->
+    (model, opt_state, total_losses (k,)); ``batches`` holds (k, ...)
+    stacked batch arrays.  Identical per-step math to make_train_step
+    (NaN guard, masked update); the per-step RNG key is split inside the
+    scan carry.  One device dispatch per burst -- on dispatch-expensive
+    transports this is the difference between ~k x RTT and 1 x RTT per
+    mapping/tracking burst (SURVEY.md section 7 hard-part 5).
+    """
+    cache_key = (loss_fn, optimizer)
+    if cache_key in _SCAN_CACHE:
+        return _SCAN_CACHE[cache_key]
+
+    def scan_fn(model, opt_state, batches, key, mask, lr):
+        def body(carry, batch):
+            model, opt_state, key = carry
+            key, sub = jax.random.split(key)
+
+            def objective(m):
+                d = loss_fn(m, batch, sub)
+                return total_loss(d), d
+
+            (tl, _), grads = jax.value_and_grad(
+                objective, has_aux=True, allow_int=True)(model)
+            bad = jnp.logical_not(jnp.isfinite(tl))
+            guard = jnp.where(bad, 0.0, 1.0)
+            grads = jax.tree_util.tree_map(
+                lambda g: g if g.dtype == jax.dtypes.float0
+                else jnp.nan_to_num(g), grads)
+            eff = jax.tree_util.tree_map(lambda m_: m_ * guard, mask)
+            if optimizer == "adam":
+                new_m, new_o = masked_adam_update(grads, opt_state, model,
+                                                  eff, lr=lr)
+            elif optimizer == "sgd":
+                new_m, new_o = masked_sgd_update(grads, opt_state, model,
+                                                 eff, lr=lr)
+            else:
+                raise ValueError(f"Invalid optimizer: {optimizer}")
+            return (new_m, new_o, key), tl
+
+        (model, opt_state, _), tls = jax.lax.scan(
+            body, (model, opt_state, key), batches)
+        return model, opt_state, tls
+
+    jitted = jax.jit(scan_fn, donate_argnums=(1,))
+    _SCAN_CACHE[cache_key] = jitted
+    return jitted
+
+
 class Trainer:
     """Generic loop (reference trainer.py:15-362).
 
@@ -151,15 +205,52 @@ class Trainer:
     # -- main loop ---------------------------------------------------------
     def train(self):
         epochs = int(self.cfg.get("epochs", 1))
-        for epoch in range(epochs):
+        scan_cap = int(self.cfg.get("scan_steps", 1))
+        epoch = 0
+        while epoch < epochs:
             self.pre_epoch(epoch)
-            self.train_epoch(epoch)
+            k = 1
+            if scan_cap > 1 and self.eval_every <= 0 and self.ckpt_every <= 0:
+                k = max(1, min(scan_cap, epochs - epoch,
+                               self._scan_chunk_budget()))
+            if k > 1:
+                self._train_scan_chunk(epoch, k)
+                self._note_scanned(k)
+            else:
+                self.train_epoch(epoch)
             self.post_epoch(epoch)
+            epoch += k
         if self.eval_every > 0:
             self.run_eval(epochs)
         if self.ckpt_every > 0:
             self.save_model(epochs, "final")
         return self.model
+
+    # Scanned multi-epoch bursts (cfg scan_steps > 1): how many epochs
+    # may run in one dispatch after the pre_epoch that just executed,
+    # without skipping per-epoch host logic.  Subclasses with per-epoch
+    # decisions (GridTrainer level switching) override these.
+    def _scan_chunk_budget(self) -> int:
+        return 1 << 30
+
+    def _note_scanned(self, k: int):
+        pass
+
+    def _train_scan_chunk(self, epoch: int, k: int):
+        t0 = time.perf_counter()
+        batches = [self.dataset.sample(self.rng) for _ in range(k)]
+        stacked = {name: jnp.asarray(np.stack([np.asarray(b[name])
+                                               for b in batches]))
+                   for name in batches[0]}
+        scan_fn = make_train_scan(self.loss_fn, self.optimizer_name)
+        self.key, sub = jax.random.split(self.key)
+        self.model, self.opt_state, tls = scan_fn(
+            self.model, self.opt_state, stacked, sub, self.current_mask(),
+            jnp.asarray(self.lr, jnp.float32))
+        if self.verbose:
+            print(f"Train epochs {epoch}..{epoch + k - 1} (scanned) | "
+                  f"train_loss={float(tls[-1]):.2e}")
+        self.total_epoch_time += time.perf_counter() - t0
 
     def _next_batch(self):
         batch = self.dataset.sample(self.rng)
@@ -269,6 +360,18 @@ class GridTrainer(Trainer):
         self._params_prev = None
         self.relchange = np.inf
         self.epochs_in_level = 0
+
+    def _scan_chunk_budget(self) -> int:
+        # Convergence-based switching needs a relchange check per epoch;
+        # pure max_epochs_in_level scheduling is deterministic, so the
+        # rest of the current level segment can run in one dispatch
+        # (pre_epoch already accounted 1 epoch).
+        if self.relchange_tol > 0:
+            return 1
+        return self.max_epochs_in_level - self.epochs_in_level + 1
+
+    def _note_scanned(self, k: int):
+        self.epochs_in_level += k - 1
 
     def pre_epoch(self, epoch: int):
         super().pre_epoch(epoch)
