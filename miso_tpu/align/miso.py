@@ -280,8 +280,10 @@ def generic_align_multiple_submaps(
     # executables with embedded device arrays hit a ~100x slow dispatch
     # path on the axon tunnel; see ops/interp.py notes).
     pose0 = (params.sub_rot_corr, params.sub_trans_corr)
-    S = atlas.num_submaps
-    row_mask = jnp.ones((S, 1), jnp.float32).at[0].set(0.0)  # submap 0 anchored
+    # Storage may hold preallocated spare slots (GridAtlas capacity);
+    # trainable rows = active slots, submap 0 anchored.
+    row_mask = jnp.asarray(params.active, jnp.float32).reshape(-1, 1)
+    row_mask = row_mask.at[0].set(0.0)
     pose_mask = (row_mask, row_mask)
     opt_state = masked_adam_init(pose0)
 

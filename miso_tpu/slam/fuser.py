@@ -78,28 +78,41 @@ class Fuser:
         opt_state = masked_adam_init(params)
 
         # mask flows as an ARGUMENT (device-array closure constants hit
-        # the axon slow dispatch path; see ops/interp.py notes).
-        def step(params, opt_state, batch, mask_, key):
-            def objective(p):
-                d = fusion_loss(p, batch, key, **loss_kwargs)
-                return total_loss(d), d
+        # the axon slow dispatch path; see ops/interp.py notes), and the
+        # whole refinement runs as ONE scanned dispatch over pre-sampled
+        # per-iteration batches (dispatch count dominates on remote
+        # transports; same pattern as train.trainer.make_train_scan).
+        def burst(params, opt_state, batches, mask_, key):
+            def body(carry, batch):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
 
-            (tl, d), grads = jax.value_and_grad(objective, has_aux=True,
-                                                allow_int=True)(params)
-            bad = jnp.logical_not(jnp.isfinite(tl))
-            grads = jax.tree_util.tree_map(
-                lambda g: g if g.dtype == jax.dtypes.float0 else jnp.nan_to_num(g),
-                grads)
-            eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
-            new_p, new_o = masked_adam_update(grads, opt_state, params, eff, lr=1.0)
-            return new_p, new_o, tl
+                def objective(p):
+                    d = fusion_loss(p, batch, sub, **loss_kwargs)
+                    return total_loss(d), d
 
-        step = jax.jit(step, donate_argnums=(1,))
+                (tl, d), grads = jax.value_and_grad(objective, has_aux=True,
+                                                    allow_int=True)(params)
+                bad = jnp.logical_not(jnp.isfinite(tl))
+                grads = jax.tree_util.tree_map(
+                    lambda g: g if g.dtype == jax.dtypes.float0
+                    else jnp.nan_to_num(g), grads)
+                eff = jax.tree_util.tree_map(
+                    lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
+                new_p, new_o = masked_adam_update(grads, opt_state, params,
+                                                  eff, lr=1.0)
+                return (new_p, new_o, key), tl
+
+            (params, opt_state, _), tls = jax.lax.scan(
+                body, (params, opt_state, key), batches)
+            return params, opt_state, tls
+
+        burst = jax.jit(burst, donate_argnums=(1,))
         rng = np.random.default_rng(seed)
-        key = jax.random.PRNGKey(seed)
-        for it in range(iterations):
-            batch = {k: jnp.asarray(v) for k, v in self.dataset.sample(rng).items()}
-            key, sub = jax.random.split(key)
-            params, opt_state, tl = step(params, opt_state, batch, mask, sub)
+        raw = [self.dataset.sample(rng) for _ in range(iterations)]
+        batches = {k: jnp.asarray(np.stack([np.asarray(b[k]) for b in raw]))
+                   for k in raw[0]}
+        params, opt_state, tls = burst(params, opt_state, batches, mask,
+                                       jax.random.PRNGKey(seed))
         self.atlas.params = params
-        return float(tl)
+        return float(tls[-1])

@@ -31,13 +31,11 @@ from miso_tpu.train.trainer import Trainer
 _HI = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("loss_type",))
-def lm_step(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
-            lm_lambda, gm_scale, trunc_dist_or_inf, loss_type="GM"):
-    """One LM registration step (reference tracker.py:148-212).
-
-    Returns (new_grid, info dict of scalars).
-    """
+def _lm_core(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
+             lm_lambda, gm_scale, trunc_dist_or_inf, loss_type):
+    """One LM update (reference tracker.py:148-212): returns the (3,)/(3,)
+    pose-correction deltas + scalar info.  Pure; jitted by lm_step and
+    scanned by lm_solve."""
     # Row weights replace the reference's boolean downselect.
     w_rows = gt_valid * (jnp.abs(gt_sdf) < trunc_dist_or_inf).astype(gt_sdf.dtype)
     Rwf, twf = jax.lax.stop_gradient(grid.updated_kf_pose(kf_local))
@@ -65,17 +63,59 @@ def lm_step(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
     g = jnp.matmul(J.T, w * r, precision=_HI)
     delta = jnp.linalg.solve(H, -g).reshape(6)
     d_rot, d_t = delta[:3], delta[3:]
-    new_grid = grid.replace(
-        rot_corr=grid.rot_corr.at[kf_local].add(d_rot),
-        trans_corr=grid.trans_corr.at[kf_local].add(d_t),
-    )
     info = {
         "delta_R_rad": jnp.linalg.norm(d_rot),
         "delta_t_norm": jnp.linalg.norm(d_t),
         "grad_norm": jnp.linalg.norm(g),
         "fov_overlap": fov_overlap,
     }
+    return d_rot, d_t, info
+
+
+@partial(jax.jit, static_argnames=("loss_type",))
+def lm_step(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
+            lm_lambda, gm_scale, trunc_dist_or_inf, loss_type="GM"):
+    """One LM registration step.  Returns (new_grid, info dict)."""
+    d_rot, d_t, info = _lm_core(grid, coords_frame, gt_sdf, gt_valid,
+                                kf_local, lm_lambda, gm_scale,
+                                trunc_dist_or_inf, loss_type)
+    new_grid = grid.replace(
+        rot_corr=grid.rot_corr.at[kf_local].add(d_rot),
+        trans_corr=grid.trans_corr.at[kf_local].add(d_t),
+    )
     return new_grid, info
+
+
+@partial(jax.jit, static_argnames=("loss_type",))
+def lm_solve(grid: GridNet, coords_frames, gt_sdfs, gt_valids, kf_local,
+             lm_lambda, gm_scale, trunc_dist_or_inf, tol_rad, tol_m,
+             loss_type="GM"):
+    """The WHOLE LM registration in one dispatch: scan of lm steps over
+    pre-sampled per-iteration batches (leading axis k), with the
+    reference's early-exit tolerances (tracker.py:125-137) as a
+    monotone freeze -- once a step's deltas fall under tolerance, later
+    steps leave the pose unchanged.  Returns (new_grid, stacked infos);
+    infos['fov_overlap'][0] is the odometry-initialized overlap.
+    """
+
+    def body(carry, batch):
+        grid, stopped = carry
+        c, s, v = batch
+        d_rot, d_t, info = _lm_core(grid, c, s, v, kf_local, lm_lambda,
+                                    gm_scale, trunc_dist_or_inf, loss_type)
+        live = jnp.logical_not(stopped).astype(d_rot.dtype)
+        grid = grid.replace(
+            rot_corr=grid.rot_corr.at[kf_local].add(d_rot * live),
+            trans_corr=grid.trans_corr.at[kf_local].add(d_t * live),
+        )
+        converged = jnp.logical_and(info["delta_R_rad"] < tol_rad,
+                                    info["delta_t_norm"] < tol_m)
+        stopped = jnp.logical_or(stopped, converged)
+        return (grid, stopped), info
+
+    (grid, _), infos = jax.lax.scan(
+        body, (grid, jnp.asarray(False)), (coords_frames, gt_sdfs, gt_valids))
+    return grid, infos
 
 
 class Tracker:
@@ -96,6 +136,9 @@ class Tracker:
         self.loss_type = c.get("loss_type", "GM")
         self.trunc_dist = c.get("trunc_dist", None)
         self.solver = c.get("solver", "lm")
+        # Whole LM solve in one scanned dispatch (tracking.lm_scan:
+        # false falls back to the per-step loop with host early exit).
+        self.lm_scan = bool(c.get("lm_scan", True))
         self.disable = bool(c.get("disable", False))
         self.latest_fov_overlap = 1.0
         self.initial_fov_overlap = 1.0
@@ -151,6 +194,23 @@ class Tracker:
         kf_local = optimize_kf - self.grid.anchor_kf
         trunc = np.float32(self.trunc_dist) if self.trunc_dist is not None \
             else np.float32(np.inf)
+        ltype = self.loss_type if self.loss_type in ("GM", "L2") else "L2"
+        if self.lm_scan and not self.verbose:
+            # One dispatch per frame: pre-sample all iteration batches,
+            # scan the LM steps with on-device tolerance freezing.
+            batches = [self.dataset.sample(self._rng)
+                       for _ in range(self.lm_max_iter)]
+            stack = lambda k: jnp.asarray(np.stack([b[k] for b in batches]))
+            self.grid, infos = lm_solve(
+                self.grid, stack("coords_frame"), stack("sdf"),
+                stack("sdf_valid"), kf_local,
+                jnp.float32(self.lm_lambda), jnp.float32(self.gm_scale_sdf),
+                trunc, jnp.float32(math.radians(self.lm_tol_deg)),
+                jnp.float32(self.lm_tol_m), loss_type=ltype)
+            fov = np.asarray(infos["fov_overlap"])
+            self.initial_fov_overlap = float(fov[0])
+            self.latest_fov_overlap = float(fov[-1])
+            return
         info = None
         for it in range(self.lm_max_iter):
             batch = self.dataset.sample(self._rng)
@@ -163,7 +223,7 @@ class Tracker:
                 jnp.float32(self.lm_lambda),
                 jnp.float32(self.gm_scale_sdf),
                 trunc,
-                loss_type=self.loss_type if self.loss_type in ("GM", "L2") else "L2",
+                loss_type=ltype,
             )
             if it == 0:
                 self.initial_fov_overlap = float(info["fov_overlap"])

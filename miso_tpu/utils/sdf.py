@@ -66,9 +66,9 @@ def _lattice_eval(chunk: int, nb: int):
         return _LATTICE_EVAL_CACHE[key]
 
     @jax.jit
-    def f(query_pytree, bound, res):
+    def f(query_pytree, bound, res, start0):
         def body(c, _):
-            pts = _lattice_chunk_pts(bound, res, c * chunk, chunk)
+            pts = _lattice_chunk_pts(bound, res, start0 + c * chunk, chunk)
             return c + 1, query_pytree(pts).reshape(-1)
 
         _, out = jax.lax.scan(body, jnp.int32(0), None, length=nb)
@@ -76,6 +76,12 @@ def _lattice_eval(chunk: int, nb: int):
 
     _LATTICE_EVAL_CACHE[key] = f
     return f
+
+
+# Longest scan per dispatch: very long scans of heavy query bodies
+# (stacked atlases at 512^3) can crash the TPU worker outright; 64
+# chunks/dispatch is measured-safe and keeps dispatch count low.
+_MAX_SCAN_CHUNKS = 64
 
 
 def extract_fields(query_func: Callable, bound, resolution: int,
@@ -91,26 +97,33 @@ def extract_fields(query_func: Callable, bound, resolution: int,
     n = resolution ** 3
     nb = -(-n // chunk)
     bucket = 1
-    while bucket < nb:
+    while bucket < min(nb, _MAX_SCAN_CHUNKS):
         bucket *= 2
+    n_dispatch = -(-nb // bucket)
     b = jnp.asarray(np.asarray(bound, np.float32))
     # A pytree-callable (GridNet / GridAtlasParams / ObservedQuery) has
     # array leaves; a plain function/closure is its own (callable) leaf.
     leaves = jax.tree_util.tree_leaves(query_func)
     if leaves and all(hasattr(l, "dtype") for l in leaves):
         f = _lattice_eval(chunk, bucket)
-        vals = np.asarray(f(query_func, b, resolution))
+        outs = [f(query_func, b, resolution, o * bucket * chunk)
+                for o in range(n_dispatch)]
     else:
         # Plain-closure fallback (compiles once per extract_fields call).
-        def fc(bound_, res_):
+        def fc(bound_, res_, start0):
             def body(c, _):
-                pts = _lattice_chunk_pts(bound_, res_, c * chunk, chunk)
+                pts = _lattice_chunk_pts(bound_, res_, start0 + c * chunk,
+                                         chunk)
                 return c + 1, query_func(pts).reshape(-1)
 
             _, out = jax.lax.scan(body, jnp.int32(0), None, length=bucket)
             return out.reshape(-1)
 
-        vals = np.asarray(jax.jit(fc)(b, resolution))
+        fc = jax.jit(fc)
+        outs = [fc(b, resolution, o * bucket * chunk)
+                for o in range(n_dispatch)]
+    vals = np.concatenate([np.asarray(o) for o in outs]) if len(outs) > 1 \
+        else np.asarray(outs[0])
     return vals[:n].reshape(resolution, resolution, resolution)
 
 
