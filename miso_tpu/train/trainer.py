@@ -213,6 +213,10 @@ class Trainer:
             if scan_cap > 1 and self.eval_every <= 0 and self.ckpt_every <= 0:
                 k = max(1, min(scan_cap, epochs - epoch,
                                self._scan_chunk_budget()))
+                # Round down to a power of two: bounds the set of scan
+                # executables (each distinct k compiles its own).
+                while k & (k - 1):
+                    k &= k - 1
             if k > 1:
                 self._train_scan_chunk(epoch, k)
                 self._note_scanned(k)
