@@ -198,3 +198,36 @@ def test_system_checkpoint_resume(seq, pretrained_decoder_path, tmp_path):
     t_gt = np.stack([seq.true_kf_pose_in_world(k)[1] for k in range(seq.num_kfs)])
     ate = np.sqrt(((t_est - t_gt) ** 2).sum(-1).mean())
     assert ate < 0.2, f"resumed ATE {ate:.3f} m"
+
+
+@pytest.mark.fast
+def test_lm_solve_matches_sequential_lm_steps(seq):
+    """lm_solve (one scanned dispatch) applies exactly the same updates
+    as sequential lm_step calls on the same batches (tolerances off)."""
+    from miso_tpu.slam.tracker import lm_solve, lm_step
+
+    model_cfg = dict(MODEL_CFG)
+    grid = create_grid_net(jax.random.PRNGKey(1), model_cfg, num_poses=4)
+    rng = np.random.default_rng(0)
+    k = 4
+    batches = []
+    seq.select_keyframes([1])
+    for _ in range(k):
+        b = seq.sample(rng)
+        batches.append(b)
+    stack = lambda key_: jnp.asarray(np.stack([b[key_] for b in batches]))
+    args = (jnp.float32(1e-4), jnp.float32(0.1), np.float32(np.inf))
+    g_seq = grid
+    for b in batches:
+        g_seq, _ = lm_step(g_seq, jnp.asarray(b["coords_frame"]),
+                           jnp.asarray(b["sdf"]), jnp.asarray(b["sdf_valid"]),
+                           1, *args, loss_type="GM")
+    g_scan, infos = lm_solve(grid, stack("coords_frame"), stack("sdf"),
+                             stack("sdf_valid"), 1, *args,
+                             jnp.float32(0.0), jnp.float32(0.0),
+                             loss_type="GM")
+    np.testing.assert_allclose(np.asarray(g_scan.rot_corr),
+                               np.asarray(g_seq.rot_corr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_scan.trans_corr),
+                               np.asarray(g_seq.trans_corr), atol=1e-6)
+    assert infos["fov_overlap"].shape == (k,)
