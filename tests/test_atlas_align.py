@@ -317,3 +317,35 @@ def test_alignment_noop_without_pairs():
     far = build_atlas(2, offset=10.0)  # no overlap
     info = align_multiple_submaps_hierarchical(far, level_iters=5)
     np.testing.assert_allclose(np.asarray(far.params.sub_trans_corr), 0.0)
+
+
+def test_bundle_adjust_multiple_submaps():
+    """Joint BA (deprecated reference miso.py:324-381): poses + features
+    refine together, submap 0 anchored, loss decreases."""
+    from miso_tpu.align.miso import bundle_adjust_multiple_submaps
+
+    atlas = build_atlas(2)
+    atlas.set_submap_pose_correction(
+        1, np.array([0, 0, 0.03], np.float32),
+        np.array([0.04, -0.02, 0.0], np.float32))
+
+    class Ds:
+        def sample(self, rng):
+            N = 512
+            x = rng.uniform(-0.8, 0.8, (N, 3)).astype(np.float32)
+            sdf = (np.linalg.norm(x, axis=1, keepdims=True) - 0.5).astype(np.float32)
+            return {"coords_frame": x,
+                    "sample_frame_ids": rng.integers(0, 2, (N,)).astype(np.int32),
+                    "weights": np.ones((N, 1), np.float32),
+                    "sdf": sdf, "sdf_valid": np.ones_like(sdf),
+                    "sdf_signs": np.zeros_like(sdf)}
+
+    p0 = atlas.params
+    info = bundle_adjust_multiple_submaps(atlas, Ds(), num_epochs=20,
+                                          pose_lr=1e-3, map_lr=1e-3)
+    assert np.isfinite(info["final_loss"])
+    # Features moved, submap 0 pose stayed anchored.
+    assert float(jnp.abs(atlas.params.features[0] - p0.features[0]).max()) > 0
+    np.testing.assert_allclose(np.asarray(atlas.params.sub_trans_corr[0]), 0.0)
+    assert float(jnp.abs(atlas.params.sub_trans_corr[1] -
+                         p0.sub_trans_corr[1]).max()) > 0
