@@ -357,12 +357,14 @@ def bundle_adjust_multiple_submaps(atlas: GridAtlas, dataset, loss_fn=None,
     loss_fn(params, batch, key) defaults to the fusion loss.
     """
     from miso_tpu.losses.fusion import fusion_loss
+    from miso_tpu.losses.miso import make_loss
     from miso_tpu.models.grid_atlas import grid_atlas_mask
 
     if loss_fn is None:
-        def loss_fn(p, b, k):
-            return fusion_loss(p, b, k, loss_type="L2", weight_sdf=1.0,
-                               weight_eik=0.0, weight_fs=0.1)
+        loss_fn = make_loss(fusion_loss, loss_type="L2", weight_sdf=1.0,
+                            weight_eik=0.0, weight_fs=0.1)
+
+    from miso_tpu.train.trainer import make_train_scan
 
     params = atlas.params
     mask = grid_atlas_mask(params, features=True, stability=True,
@@ -371,38 +373,15 @@ def bundle_adjust_multiple_submaps(atlas: GridAtlas, dataset, loss_fn=None,
                            feature_lr=map_lr, submap_pose_lr=pose_lr,
                            kf_pose_lr=pose_lr)
     opt_state = masked_adam_init(params)
-
-    def burst(params, opt_state, batches, mask_, key):
-        def body(carry, batch):
-            params, opt_state, key = carry
-            key, sub = jax.random.split(key)
-
-            def objective(p):
-                return total_loss(loss_fn(p, batch, sub))
-
-            tl, grads = jax.value_and_grad(objective, allow_int=True)(params)
-            bad = jnp.logical_not(jnp.isfinite(tl))
-            grads = jax.tree_util.tree_map(
-                lambda g: g if g.dtype == jax.dtypes.float0
-                else jnp.nan_to_num(g), grads)
-            eff = jax.tree_util.tree_map(
-                lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
-            new_p, new_o = masked_adam_update(grads, opt_state, params, eff,
-                                              lr=1.0)
-            return (new_p, new_o, key), tl
-
-        (params, opt_state, _), tls = jax.lax.scan(
-            body, (params, opt_state, key), batches)
-        return params, opt_state, tls
-
-    burst = jax.jit(burst, donate_argnums=(1,))
+    burst = make_train_scan(loss_fn, "adam")
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
     raw = [dataset.sample(rng) for _ in range(num_epochs)]
     batches = {k: jnp.asarray(np.stack([np.asarray(b[k]) for b in raw]))
                for k in raw[0]}
-    params, opt_state, tls = burst(params, opt_state, batches, mask,
-                                   jax.random.PRNGKey(seed))
+    params, opt_state, tls = burst(params, opt_state, batches,
+                                   jax.random.PRNGKey(seed), mask,
+                                   jnp.float32(1.0))
     atlas.params = params
     if verbose:
         print(f"BA losses: {np.asarray(tls)[::max(num_epochs // 5, 1)]}")

@@ -119,11 +119,29 @@ def posed_sdf_loss_3d(model, batch, key, sdf_weight=3e3, sign_weight=1e2,
     return out
 
 
+_MAKE_LOSS_CACHE = {}
+
+
 def make_loss(fn, **fixed_kwargs):
-    """Bind loss hyperparameters; returns (model, batch, key) -> dict."""
+    """Bind loss hyperparameters; returns (model, batch, key) -> dict.
+
+    Cached by (fn, kwargs) so repeated construction with identical
+    hyperparameters returns the SAME function object -- the train-step /
+    train-scan caches key on loss-fn identity, so this makes compiled
+    executables reusable across Trainer/Fuser instances.
+    """
+    try:
+        cache_key = (fn, tuple(sorted(fixed_kwargs.items())))
+        if cache_key in _MAKE_LOSS_CACHE:
+            return _MAKE_LOSS_CACHE[cache_key]
+    except TypeError:           # unhashable kwarg value
+        cache_key = None
+
     def bound_loss(model, batch, key, **overrides):
         kw = dict(fixed_kwargs)
         kw.update(overrides)
         return fn(model, batch, key, **kw)
     bound_loss.__name__ = fn.__name__
+    if cache_key is not None:
+        _MAKE_LOSS_CACHE[cache_key] = bound_loss
     return bound_loss

@@ -15,11 +15,9 @@ import math
 import numpy as np
 
 from miso_tpu.align.miso import align_multiple_submaps_hierarchical
-from miso_tpu.losses.common import total_loss
 from miso_tpu.losses.fusion import fusion_loss
-from miso_tpu.models.base import tree_combine_masks
 from miso_tpu.models.grid_atlas import GridAtlas, grid_atlas_mask
-from miso_tpu.train.optim import masked_adam_init, masked_adam_update
+from miso_tpu.train.optim import masked_adam_init
 
 
 class Fuser:
@@ -77,42 +75,21 @@ class Fuser:
         )
         opt_state = masked_adam_init(params)
 
-        # mask flows as an ARGUMENT (device-array closure constants hit
-        # the axon slow dispatch path; see ops/interp.py notes), and the
-        # whole refinement runs as ONE scanned dispatch over pre-sampled
-        # per-iteration batches (dispatch count dominates on remote
-        # transports; same pattern as train.trainer.make_train_scan).
-        def burst(params, opt_state, batches, mask_, key):
-            def body(carry, batch):
-                params, opt_state, key = carry
-                key, sub = jax.random.split(key)
+        # The whole refinement is ONE scanned dispatch (pre-sampled
+        # per-iteration batches) through the cached trainer scan --
+        # make_loss + make_train_scan both cache by identity, so
+        # repeated fuse() calls reuse the compiled executable.
+        from miso_tpu.losses.miso import make_loss
+        from miso_tpu.train.trainer import make_train_scan
 
-                def objective(p):
-                    d = fusion_loss(p, batch, sub, **loss_kwargs)
-                    return total_loss(d), d
-
-                (tl, d), grads = jax.value_and_grad(objective, has_aux=True,
-                                                    allow_int=True)(params)
-                bad = jnp.logical_not(jnp.isfinite(tl))
-                grads = jax.tree_util.tree_map(
-                    lambda g: g if g.dtype == jax.dtypes.float0
-                    else jnp.nan_to_num(g), grads)
-                eff = jax.tree_util.tree_map(
-                    lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
-                new_p, new_o = masked_adam_update(grads, opt_state, params,
-                                                  eff, lr=1.0)
-                return (new_p, new_o, key), tl
-
-            (params, opt_state, _), tls = jax.lax.scan(
-                body, (params, opt_state, key), batches)
-            return params, opt_state, tls
-
-        burst = jax.jit(burst, donate_argnums=(1,))
+        loss_fn = make_loss(fusion_loss, **loss_kwargs)
+        burst = make_train_scan(loss_fn, "adam")
         rng = np.random.default_rng(seed)
         raw = [self.dataset.sample(rng) for _ in range(iterations)]
         batches = {k: jnp.asarray(np.stack([np.asarray(b[k]) for b in raw]))
                    for k in raw[0]}
-        params, opt_state, tls = burst(params, opt_state, batches, mask,
-                                       jax.random.PRNGKey(seed))
+        params, opt_state, tls = burst(params, opt_state, batches,
+                                       jax.random.PRNGKey(seed), mask,
+                                       jnp.float32(1.0))
         self.atlas.params = params
         return float(tls[-1])

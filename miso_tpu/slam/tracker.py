@@ -195,7 +195,7 @@ class Tracker:
         trunc = np.float32(self.trunc_dist) if self.trunc_dist is not None \
             else np.float32(np.inf)
         ltype = self.loss_type if self.loss_type in ("GM", "L2") else "L2"
-        if self.lm_scan and not self.verbose:
+        if self.lm_scan and self.lm_max_iter >= 1 and not self.verbose:
             # One dispatch per frame: pre-sample all iteration batches,
             # scan the LM steps with on-device tolerance freezing.
             batches = [self.dataset.sample(self._rng)

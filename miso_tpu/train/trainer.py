@@ -372,6 +372,9 @@ class GridTrainer(Trainer):
         # (pre_epoch already accounted 1 epoch).
         if self.relchange_tol > 0:
             return 1
+        if self.active_level >= self.num_levels:
+            # Final joint/finetune phase: no more switches, unbounded.
+            return 1 << 30
         return self.max_epochs_in_level - self.epochs_in_level + 1
 
     def _note_scanned(self, k: int):

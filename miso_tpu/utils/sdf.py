@@ -95,6 +95,11 @@ def extract_fields(query_func: Callable, bound, resolution: int,
     (extra rows evaluate past the lattice and are trimmed).
     """
     n = resolution ** 3
+    # int32 device index math: res^3 must fit (the on-device lattice
+    # would silently wrap and corrupt coordinates past this).
+    assert n < 2 ** 31, (
+        f"resolution {resolution} overflows int32 lattice indexing "
+        f"(res^3 = {n}); use resolution <= 1290")
     nb = -(-n // chunk)
     bucket = 1
     while bucket < min(nb, _MAX_SCAN_CHUNKS):
@@ -164,7 +169,7 @@ class ObservedQuery(_struct.PyTreeNode):
     """Pytree-callable wrapping a model with a stability mask.
 
     A pytree (not a closure) so extract_fields can pass it as a jit
-    argument (see _eval_blocks).
+    argument (see _lattice_eval / extract_fields).
     """
     model: object
     stability_thresh: jnp.ndarray
