@@ -77,3 +77,15 @@ def test_scanned_gridtrainer_respects_level_boundaries():
     assert marks[1] == marks[256], marks
     assert marks[1]["level0_last_epoch"] == 10
     assert marks[1]["level1_last_epoch"] == 20
+
+
+def test_make_loss_caches_by_identity():
+    """Same (fn, kwargs) -> same function object, so step/scan caches
+    reuse compiled executables across Trainer/Fuser instances."""
+    from miso_tpu.losses.miso import make_loss, mapping_loss
+
+    a = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0)
+    b = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0)
+    c = make_loss(mapping_loss, loss_type="L2", weight_sdf=1.0)
+    assert a is b
+    assert a is not c
