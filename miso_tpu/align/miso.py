@@ -253,7 +253,8 @@ def generic_align_multiple_submaps(
         submap_pairs: Optional[Sequence[Tuple[int, int]]] = None,
         check_intersection=True, pose_reg_weight=0.0,
         pose_thresh_rad=1.0, pose_thresh_m=1.0, verbose=False,
-        save_iterations=False, seed=0, loss_ctx=None, batched_loss=False):
+        save_iterations=False, seed=0, loss_ctx=None, batched_loss=False,
+        scan=True):
     """Adam over all submap poses, submap 0 anchored
     (reference align/base.py:89-163).
 
@@ -266,7 +267,15 @@ def generic_align_multiple_submaps(
     ``batched_loss``: pair_loss_fn is a vmapped batch loss
     (params, key, ctx) -> dict evaluated ONCE per step (see
     make_vmapped_pair_loss); submap_pairs/check_intersection are then
-    the caller's responsibility (encoded in ctx)."""
+    the caller's responsibility (encoded in ctx).
+
+    ``scan`` (default): the WHOLE alignment is one scanned dispatch over
+    pre-split iteration keys with the rel-change early exit as an
+    on-device monotone freeze, exactly the lm_solve pattern
+    (slam/tracker.py:90-118) -- the reference instead loops on the host
+    issuing one step + pose transfer + relchange check per iteration
+    (align/base.py:89-163).  ``save_iterations``/``verbose`` fall back
+    to the per-iteration loop (they need host snapshots)."""
     params = atlas.params
     if not batched_loss:
         if submap_pairs is None:
@@ -313,32 +322,73 @@ def generic_align_multiple_submaps(
         new_pose, new_opt = masked_adam_update(grads, opt_state, pose, eff, lr=lr)
         return new_pose, new_opt, tl
 
-    step = jax.jit(step, donate_argnums=(1,))
     pose = pose0
     key = jax.random.PRNGKey(seed)
-    prev = None
     t0 = time.perf_counter()
     iteration_results = {}
-    for it in range(num_iters + 1):
-        if save_iterations:
-            cur_p = params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
-            R, t = cur_p.updated_submap_poses()
-            T = np.zeros((atlas.num_submaps, 4, 4), np.float32)
-            T[:, 3, 3] = 1
-            T[:, :3, :3] = np.asarray(R)
-            T[:, :3, 3] = np.asarray(t)
-            iteration_results[it] = T
-        key, sub = jax.random.split(key)
-        pose, opt_state, tl = step(pose, opt_state, params, loss_ctx,
-                                   pose_mask, sub)
-        cur = (np.asarray(pose[0]), np.asarray(pose[1]))
-        relchange = float(relative_param_change(cur, prev)) if prev is not None else np.inf
-        prev = cur
-        if verbose:
-            print(f"AlignMulti iteration {it}: loss={float(tl):.2e} "
-                  f"relchange={relchange:.2e}")
-        if relchange < rel_change_thresh:
-            break
+
+    if scan and not save_iterations and not verbose:
+        # One dispatch for the whole alignment: scan the step over the
+        # same key sequence the loop path would draw, freezing pose AND
+        # optimizer state once the rel change falls under threshold.
+        subs = []
+        for _ in range(num_iters + 1):
+            key, sub = jax.random.split(key)
+            subs.append(sub)
+        keys = jnp.stack(subs)
+
+        def solve(pose, opt_state, full_params, ctx, mask_, keys):
+            def body(carry, xs):
+                k, it = xs
+                pose, opt_state, stopped = carry
+                new_pose, new_opt, tl = step(pose, opt_state, full_params,
+                                             ctx, mask_, k)
+                live = jnp.logical_not(stopped)
+                pose_next = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(live, n, o), new_pose, pose)
+                opt_next = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(live, n, o), new_opt, opt_state)
+                rel = relative_param_change(pose_next, pose)
+                # The loop path's first check compares iterations 0 and 1
+                # (prev=None at it 0); gate on it >= 1 for exact parity.
+                stopped = jnp.logical_or(stopped, jnp.logical_and(
+                    jnp.logical_and(live, it >= 1), rel < rel_change_thresh))
+                return (pose_next, opt_next, stopped), tl
+
+            (pose, opt_state, _), tls = jax.lax.scan(
+                body, (pose, opt_state, jnp.asarray(False)),
+                (keys, jnp.arange(keys.shape[0])))
+            return pose, opt_state, tls
+
+        solve = jax.jit(solve, donate_argnums=(1,))
+        pose, opt_state, _ = solve(pose, opt_state, params, loss_ctx,
+                                   pose_mask, keys)
+        jax.block_until_ready(pose)
+    else:
+        step = jax.jit(step, donate_argnums=(1,))
+        prev = None
+        for it in range(num_iters + 1):
+            if save_iterations:
+                cur_p = params.replace(sub_rot_corr=pose[0],
+                                       sub_trans_corr=pose[1])
+                R, t = cur_p.updated_submap_poses()
+                T = np.zeros((atlas.num_submaps, 4, 4), np.float32)
+                T[:, 3, 3] = 1
+                T[:, :3, :3] = np.asarray(R)
+                T[:, :3, 3] = np.asarray(t)
+                iteration_results[it] = T
+            key, sub = jax.random.split(key)
+            pose, opt_state, tl = step(pose, opt_state, params, loss_ctx,
+                                       pose_mask, sub)
+            cur = (np.asarray(pose[0]), np.asarray(pose[1]))
+            relchange = float(relative_param_change(cur, prev)) \
+                if prev is not None else np.inf
+            prev = cur
+            if verbose:
+                print(f"AlignMulti iteration {it}: loss={float(tl):.2e} "
+                      f"relchange={relchange:.2e}")
+            if relchange < rel_change_thresh:
+                break
     elapsed = time.perf_counter() - t0
     atlas.params = params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
     return {"cpu_time_sec": elapsed, "gpu_time_sec": elapsed,

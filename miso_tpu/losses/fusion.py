@@ -82,6 +82,12 @@ def posed_sdf_loss_3d_submap(params, batch, key, mode="submap",
                 params, coords_world, valid, key, smooth_std,
                 grad_method, finite_diff_eps) * smooth_weight
     else:
+        # Per-point own-submap queries + segment sums: one gather over
+        # the stacked storage + one scatter-add per term -- compile time
+        # and FLOPs flat in the number of submaps (the reference loops
+        # submaps in Python, loss.py:415-514; so did the previous
+        # unrolled version here).
+        S = params.num_submaps
         sub_of_point = params.kf_to_submap[ids]                   # (N,)
         R_sk, t_sk = params.updated_kf_poses_in_submap()
         loc = params.kf_to_local[ids]
@@ -89,27 +95,30 @@ def posed_sdf_loss_3d_submap(params, batch, key, mode="submap",
         tp = t_sk[sub_of_point, loc]
         coords_submap = jnp.einsum("nij,nj->ni", Rp, batch["coords_frame"],
                                    precision=jax.lax.Precision.HIGHEST) + tp
-        for s in range(params.num_submaps):
-            sel = (sub_of_point == s).astype(gt_sdf.dtype)[:, None]  # (N, 1)
-            count = jnp.maximum(jnp.sum(sel), 1.0)
-            # Size-aware query: padded storage rows must not read as
-            # real features when submap bounds differ.
-            pred = params.forward_submap(s, coords_submap)
-            c = jnp.where(valid == 1, pred - gt_sdf, 0.0) * sel
-            sdf_loss = (jnp.sum(c**2) if loss_type == "L2"
-                        else jnp.sum(jnp.abs(c))) / count
-            out[f"{s}_sdf"] = sdf_loss * sdf_weight
+        pred = params.forward_per_point(sub_of_point, coords_submap)  # (N, 1)
+
+        def seg(v):  # (N,) per-point terms -> (S,) per-submap sums
+            return jax.ops.segment_sum(v, sub_of_point, num_segments=S)
+
+        counts = jnp.maximum(seg(jnp.ones_like(gt_sdf[:, 0])), 1.0)
+        c = jnp.where(valid == 1, pred - gt_sdf, 0.0)
+        per = c**2 if loss_type == "L2" else jnp.abs(c)
+        sdf_vec = seg(per[:, 0]) / counts * sdf_weight        # (S,)
+        if sign_weight > 0:
+            is_free = (signs == 1)
+            upper = jnp.where(is_free, jax.nn.relu(pred - gt_sdf), 0.0)
+            lower = jnp.where(is_free, jax.nn.relu(trunc_dist - pred), 0.0)
+            fs_vec = seg(jnp.maximum(upper, lower)[:, 0]) / counts * sign_weight
+        if pose_reg_weight > 0:
+            reg_R = pose_reg_weight * jnp.mean(params.kf_rot_corr**2, axis=(1, 2))
+            reg_t = pose_reg_weight * jnp.mean(params.kf_trans_corr**2, axis=(1, 2))
+        for s in range(S):
+            out[f"{s}_sdf"] = sdf_vec[s]
             if sign_weight > 0:
-                is_free = (signs == 1)
-                upper = jnp.where(is_free, jax.nn.relu(pred - gt_sdf), 0.0)
-                lower = jnp.where(is_free, jax.nn.relu(trunc_dist - pred), 0.0)
-                out[f"{s}_free_space"] = (jnp.sum(jnp.maximum(upper, lower) * sel)
-                                          / count) * sign_weight
+                out[f"{s}_free_space"] = fs_vec[s]
             if pose_reg_weight > 0:
-                out[f"{s}_pose_l2_reg_R"] = pose_reg_weight * jnp.mean(
-                    params.kf_rot_corr[s] ** 2)
-                out[f"{s}_pose_l2_reg_t"] = pose_reg_weight * jnp.mean(
-                    params.kf_trans_corr[s] ** 2)
+                out[f"{s}_pose_l2_reg_R"] = reg_R[s]
+                out[f"{s}_pose_l2_reg_t"] = reg_t[s]
     if pose_reg_weight > 0:
         out["submap_l2_reg_R"] = pose_reg_weight * jnp.sum(params.sub_rot_corr**2)
         out["submap_l2_reg_t"] = pose_reg_weight * jnp.sum(params.sub_trans_corr**2)

@@ -128,24 +128,39 @@ def isdf_loss_submap(params, batch, key, trunc_dist=0.15, sdf_weight=1.0,
     coords_submap = jnp.einsum("nij,nj->ni", Rp, batch["coords_frame"],
                                precision=jax.lax.Precision.HIGHEST) + tp
     out = {}
-    for s in range(params.num_submaps):
-        sel = (sub_of_point == s).astype(bounds.dtype)[:, None]
-        count = jnp.maximum(jnp.sum(sel), 1.0)
-        # Size-aware query (padded storage, differing submap bounds).
-        pred = params.forward_submap(s, coords_submap)
-        mat, free = isdf_sdf_loss_mat(pred, bounds, trunc_dist, loss_type,
-                                      free_space_factor)
-        mat = jnp.where(free, mat, mat * trunc_weight)
-        out[f"submap{s}_sdf"] = sdf_weight * jnp.sum(mat * sel) / count
+    # Per-point own-submap queries + segment sums (O(N) compute, flat in
+    # the number of submaps; see losses/fusion.py submap mode).  The
+    # size-aware per-point gather keeps padded storage rows from reading
+    # as real features when submap bounds differ.
+    S = params.num_submaps
+    pred = params.forward_per_point(sub_of_point, coords_submap)
+
+    def seg(v):  # (N,) per-point terms -> (S,) per-submap sums
+        return jax.ops.segment_sum(v, sub_of_point, num_segments=S)
+
+    counts = jnp.maximum(seg(jnp.ones_like(bounds[:, 0])), 1.0)
+    mat, free = isdf_sdf_loss_mat(pred, bounds, trunc_dist, loss_type,
+                                  free_space_factor)
+    mat = jnp.where(free, mat, mat * trunc_weight)
+    sdf_vec = sdf_weight * seg(mat[:, 0]) / counts
+    if stability_weight > 0:
+        mu = params.query_stability_per_point(sub_of_point, coords_submap)
+        # mu is (N, L) (one stability channel per level); the unrolled
+        # path summed the squared residual over levels too.
+        stab_vec = stability_weight * seg(
+            jnp.sum((mu - 1.0) ** 2, axis=1)) / counts
+    if pose_reg_weight > 0:
+        rot_norm = jnp.linalg.norm(params.kf_rot_corr, axis=-1)   # (S, K)
+        tr_norm = jnp.linalg.norm(params.kf_trans_corr, axis=-1)
+        tr_R = pose_reg_weight * jnp.sum(
+            jax.nn.relu(rot_norm - pose_thresh_rad), axis=1)      # (S,)
+        tr_t = pose_reg_weight * jnp.sum(
+            jax.nn.relu(tr_norm - pose_thresh_m), axis=1)
+    for s in range(S):
+        out[f"submap{s}_sdf"] = sdf_vec[s]
         if stability_weight > 0:
-            mu = params.query_stability_submap(s, coords_submap)
-            c = (mu - 1.0) * sel
-            out[f"submap{s}_stability"] = stability_weight * jnp.sum(c**2) / count
+            out[f"submap{s}_stability"] = stab_vec[s]
         if pose_reg_weight > 0:
-            rot_norm = jnp.linalg.norm(params.kf_rot_corr[s], axis=-1)
-            tr_norm = jnp.linalg.norm(params.kf_trans_corr[s], axis=-1)
-            out[f"submap{s}_trust_region_R"] = pose_reg_weight * jnp.sum(
-                jax.nn.relu(rot_norm - pose_thresh_rad))
-            out[f"submap{s}_trust_region_t"] = pose_reg_weight * jnp.sum(
-                jax.nn.relu(tr_norm - pose_thresh_m))
+            out[f"submap{s}_trust_region_R"] = tr_R[s]
+            out[f"submap{s}_trust_region_t"] = tr_t[s]
     return out

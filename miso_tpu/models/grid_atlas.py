@@ -194,6 +194,38 @@ class GridAtlasParams(struct.PyTreeNode):
             decoder = jax.lax.stop_gradient(decoder)
         return interp.grid_decode(feats, x_submap, decoder, self.pos_invariant)
 
+    # -- per-point submap queries ------------------------------------------
+    # Each point interpolates ONLY its own submap's grid: one gather over
+    # the stacked storage, O(N) compute regardless of S.  The per-submap
+    # losses use these instead of looping submaps (losses/fusion.py,
+    # losses/isdf_loss.py); compile time and FLOPs stay flat in the
+    # number of submaps.
+    def query_feature_per_point(self, sub_ids, x_submap: jnp.ndarray) -> jnp.ndarray:
+        outs = []
+        for level in range(self.num_levels):
+            f = interp.grid_interpolate_per_point(
+                self.features[level], sub_ids, x_submap, self.bounds,
+                self.sizes[level])
+            f = f * (1.0 - self.ignore_level[level].astype(f.dtype))
+            outs.append(f)
+        return jnp.concatenate(outs, axis=-1)
+
+    def query_stability_per_point(self, sub_ids, x_submap: jnp.ndarray) -> jnp.ndarray:
+        outs = []
+        for level in range(self.num_levels):
+            outs.append(interp.grid_interpolate_per_point(
+                self.stability[level], sub_ids, x_submap, self.bounds,
+                self.sizes[level]))
+        return jnp.concatenate(outs, axis=-1)
+
+    def forward_per_point(self, sub_ids, x_submap: jnp.ndarray) -> jnp.ndarray:
+        """Decode each point against its own submap's field."""
+        feats = self.query_feature_per_point(sub_ids, x_submap)
+        decoder = self.decoder
+        if decoder is not None and self.decoder_fixed:
+            decoder = jax.lax.stop_gradient(decoder)
+        return interp.grid_decode(feats, x_submap, decoder, self.pos_invariant)
+
     # -- submap views ------------------------------------------------------
     def submap(self, s: int, shapes: Optional[Sequence[Tuple[int, ...]]] = None,
                anchor_kf: int = 0) -> GridNet:

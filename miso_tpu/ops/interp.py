@@ -143,6 +143,72 @@ def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
     return jnp.einsum("cn,cnf->nf", w, cf)
 
 
+def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
+                               x: jnp.ndarray, bounds: jnp.ndarray,
+                               sizes: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate each point against ITS OWN submap's grid.
+
+    The stacked-atlas analogue of :func:`grid_interpolate` for per-point
+    submap assignment: one gather over the flattened (S, g..., F)
+    storage, with per-point bounds / logical sizes folded into the
+    columnar index math.  O(N) compute regardless of the number of
+    submaps -- replaces per-submap loops that evaluate all N points
+    against every submap (reference loss.py:415-514 nests Python loops
+    over submaps/keyframes instead).
+
+    Args:
+      stacked: (S, g0..g_{d-1}, F) padded per-submap grids (one level).
+      sub_ids: (N,) int32 submap index per point.
+      x: (N, d) submap-frame coords (each in its own submap's frame).
+      bounds: (S, d, 2) per-submap local bounds.
+      sizes: (S, d) int32 per-submap logical grid sizes for this level.
+
+    Returns (N, F); differentiable to any order like grid_interpolate.
+    """
+    d = x.shape[-1]
+    spatial = stacked.shape[1:-1]
+    assert len(spatial) == d
+    F = stacked.shape[-1]
+    N = x.shape[0]
+    # Columnar per-axis index math (CLAUDE.md rule 3): every op below is
+    # an (N,)-shaped column; per-point bound/size columns are 1-axis
+    # gathers.
+    cols = []
+    for k in range(d):
+        lo = bounds[sub_ids, k, 0]
+        hi = bounds[sub_ids, k, 1]
+        nk_i = sizes[sub_ids, k]
+        u = (x[:, k] - lo) / (hi - lo) * nk_i.astype(x.dtype) - 0.5
+        i0f = jnp.floor(u)
+        cols.append((i0f.astype(jnp.int32), u - i0f, nk_i))
+    strides = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides[k] = strides[k + 1] * spatial[k + 1]
+    grid_stride = 1
+    for n in spatial:
+        grid_stride *= n
+    base = sub_ids.astype(jnp.int32) * grid_stride
+    lin_all, w_all = [], []
+    one = jnp.ones(N, x.dtype)
+    for corner in itertools.product((0, 1), repeat=d):
+        lin = base
+        w = one
+        ok = jnp.ones(N, jnp.bool_)
+        for k in range(d):
+            i0k, frk, nk_i = cols[k]
+            ik = i0k + corner[k]
+            ok = ok & (ik >= 0) & (ik < nk_i)
+            lin = lin + jnp.clip(ik, 0, nk_i - 1) * strides[k]
+            w = w * (frk if corner[k] == 1 else 1.0 - frk)
+        lin_all.append(lin)
+        w_all.append(w * ok.astype(w.dtype))
+    lin = jnp.stack(lin_all)
+    w = jnp.stack(w_all)
+    flat = stacked.reshape(-1, F)
+    cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
+    return jnp.einsum("cn,cnf->nf", w, cf)
+
+
 def multi_level_interpolate(
     grids: Sequence[jnp.ndarray],
     x: jnp.ndarray,

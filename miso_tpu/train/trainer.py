@@ -188,6 +188,7 @@ class Trainer:
         self._params_prev = None
         self.relchange = np.inf
         self.total_epoch_time = 0.0
+        self.start_epoch = 0
         self._train_start = time.process_time()
 
     # -- hooks (overridable, reference trainer.py:141-168) -----------------
@@ -206,7 +207,7 @@ class Trainer:
     def train(self):
         epochs = int(self.cfg.get("epochs", 1))
         scan_cap = int(self.cfg.get("scan_steps", 1))
-        epoch = 0
+        epoch = self.start_epoch
         while epoch < epochs:
             self.pre_epoch(epoch)
             k = 1
@@ -330,10 +331,64 @@ class Trainer:
             return
         import os
 
+        path = os.path.join(self.log_dir, "ckpt", f"{name}.npz")
+        self.save_checkpoint(path, epoch)
+
+    # -- exact resume ------------------------------------------------------
+    # The reference checkpoints optimizer state alongside the model and
+    # resumes from it (trainer.py:92-95,319-332).  Here the FULL train
+    # state is persisted -- model, optimizer moments, JAX key, numpy
+    # sampler state, epoch, level/convergence state -- so an interrupted
+    # run resumed from a per-epoch checkpoint is BIT-IDENTICAL to an
+    # uninterrupted one (the deterministic per-epoch key/batch chains
+    # make this exact; tests/test_resume.py).
+    def _aux_state(self) -> Dict:
+        return {}
+
+    def _restore_aux_state(self, st: Dict):
+        pass
+
+    def save_checkpoint(self, path: str, epoch: int = 0):
         from miso_tpu.train.checkpoint import save_pytree
 
-        path = os.path.join(self.log_dir, "ckpt", f"{name}.npz")
-        save_pytree(path, {"model": self.model}, meta={"epoch": epoch})
+        tree = {"model": self.model, "opt_state": self.opt_state,
+                "key": self.key}
+        if self._params_prev is not None:
+            tree["params_prev"] = self._params_prev
+        meta = {"epoch": int(epoch),
+                "rng_state": self.rng.bit_generator.state,
+                "relchange": float(self.relchange),
+                "has_params_prev": self._params_prev is not None,
+                "total_epoch_time": float(self.total_epoch_time),
+                "optimizer": self.optimizer_name,
+                "aux": self._aux_state()}
+        save_pytree(path, tree, meta=meta)
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restore full train state; returns the epoch to resume from
+        (also set as ``self.start_epoch`` consumed by train())."""
+        from miso_tpu.train.checkpoint import load_meta, load_pytree
+
+        meta = load_meta(path) or {}
+        like = {"model": self.model, "opt_state": self.opt_state,
+                "key": self.key}
+        if meta.get("has_params_prev"):
+            like["params_prev"] = jax.tree_util.tree_map(np.asarray,
+                                                         self.model)
+        tree = load_pytree(path, like)
+        self.model = tree["model"]
+        self.opt_state = tree["opt_state"]
+        self.key = tree["key"]
+        if "params_prev" in tree:
+            self._params_prev = jax.tree_util.tree_map(np.asarray,
+                                                       tree["params_prev"])
+        if "rng_state" in meta:
+            self.rng.bit_generator.state = meta["rng_state"]
+        self.relchange = float(meta.get("relchange", np.inf))
+        self.total_epoch_time = float(meta.get("total_epoch_time", 0.0))
+        self._restore_aux_state(meta.get("aux") or {})
+        self.start_epoch = int(meta.get("epoch", 0))
+        return self.start_epoch
 
 
 class GridTrainer(Trainer):
@@ -364,6 +419,22 @@ class GridTrainer(Trainer):
         self._params_prev = None
         self.relchange = np.inf
         self.epochs_in_level = 0
+
+    def _aux_state(self) -> Dict:
+        return {"active_level": int(self.active_level),
+                "epochs_in_level": int(self.epochs_in_level)}
+
+    def _restore_aux_state(self, st: Dict):
+        if not st:
+            return
+        self.active_level = int(st["active_level"])
+        self.epochs_in_level = int(st["epochs_in_level"])
+        if self.active_level >= self.num_levels:
+            lvl = (self.num_levels - 1 if self.mode == "coordinate"
+                   else self.num_levels)
+        else:
+            lvl = self.active_level
+        self.mask = self.mask_for_level(self.model, lvl)
 
     def _scan_chunk_budget(self) -> int:
         # Convergence-based switching needs a relchange check per epoch;

@@ -112,6 +112,85 @@ def test_isdf_submap_loss_finite_on_mixed_bounds(rng):
         assert np.isfinite(float(v)), k
 
 
+def test_isdf_submap_loss_matches_unrolled(rng):
+    """Segment-sum per-point path == reference-style unrolled per-submap
+    loop (loss_isdf.py:242-277) on a mixed-bounds atlas."""
+    from miso_tpu.losses.isdf_loss import isdf_sdf_loss_mat
+
+    atlas = _mixed_bounds_atlas(rng)
+    p = atlas.params
+    batch = _batch(rng)
+    got = isdf_loss_submap(p, batch, jax.random.PRNGKey(0),
+                           stability_weight=0.1, pose_reg_weight=0.5,
+                           trunc_weight=0.7)
+    ids = batch["sample_frame_ids"].reshape(-1).astype(jnp.int32)
+    bounds = batch["sdf"]
+    sub_of_point = p.kf_to_submap[ids]
+    R_sk, t_sk = p.updated_kf_poses_in_submap()
+    loc = p.kf_to_local[ids]
+    coords = jnp.einsum("nij,nj->ni", R_sk[sub_of_point, loc],
+                        batch["coords_frame"],
+                        precision=jax.lax.Precision.HIGHEST) \
+        + t_sk[sub_of_point, loc]
+    for s in range(2):
+        sel = (sub_of_point == s).astype(jnp.float32)[:, None]
+        count = jnp.maximum(jnp.sum(sel), 1.0)
+        pred = p.forward_submap(s, coords)
+        mat, free = isdf_sdf_loss_mat(pred, bounds, 0.15, "L1", 5.0)
+        mat = jnp.where(free, mat, mat * 0.7)
+        np.testing.assert_allclose(float(got[f"submap{s}_sdf"]),
+                                   float(jnp.sum(mat * sel) / count),
+                                   rtol=1e-5, atol=1e-6)
+        mu = p.query_stability_submap(s, coords)
+        want_stab = 0.1 * jnp.sum(((mu - 1.0) * sel) ** 2) / count
+        np.testing.assert_allclose(float(got[f"submap{s}_stability"]),
+                                   float(want_stab), rtol=1e-5, atol=1e-6)
+
+
+def test_grid_interpolate_per_point_matches_per_submap(rng):
+    """Per-point own-submap gather == per-submap sized interpolation."""
+    from miso_tpu.ops import interp
+
+    atlas = _mixed_bounds_atlas(rng)
+    p = atlas.params
+    N = 128
+    x = jnp.asarray(rng.uniform(-1.5, 1.5, (N, 3)).astype(np.float32))
+    sub_ids = jnp.asarray(rng.integers(0, 2, (N,)).astype(np.int32))
+    for level in range(p.num_levels):
+        got = interp.grid_interpolate_per_point(
+            p.features[level], sub_ids, x, p.bounds, p.sizes[level])
+        for s in range(2):
+            want = interp.grid_interpolate(
+                p.features[level][s], x, p.bounds[s], size=p.sizes[level][s])
+            m = np.asarray(sub_ids) == s
+            np.testing.assert_allclose(np.asarray(got)[m],
+                                       np.asarray(want)[m],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_submap_loss_compile_size_flat_in_submaps(rng):
+    """The heavy interp+decode tower must appear ONCE regardless of S:
+    jaxpr growth per extra submap is a few scalar slices, not a full
+    per-submap forward (VERDICT r2 weakness #4)."""
+    def eqn_count(num_submaps):
+        atlas = GridAtlas(CFG, max_kfs_per_submap=2)
+        for s in range(num_submaps):
+            atlas.add_submap(np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32),
+                             tws=np.array([0.3 * s, 0, 0], np.float32))
+            atlas.add_kf()
+            atlas.add_kf()
+        batch = _batch(rng, n_kf_total=2 * num_submaps)
+        jaxpr = jax.make_jaxpr(
+            lambda p, b: posed_sdf_loss_3d_submap(
+                p, b, jax.random.PRNGKey(0), mode="submap"))(
+            atlas.params, batch)
+        return sum(1 for _ in jaxpr.jaxpr.eqns)
+
+    n2, n6 = eqn_count(2), eqn_count(6)
+    per_submap_growth = (n6 - n2) / 4
+    assert per_submap_growth <= 8, (n2, n6)
+
+
 def test_capacity_preallocated_atlas_growth(rng):
     """add_submap with preallocated capacity is a slot write: the grid
     buffers are NOT re-stacked/re-uploaded (VERDICT round-1 item 7)."""
