@@ -63,6 +63,10 @@ def main():
                         "multiple submaps and runs Fuser align+fuse after "
                         "the run (reference fuser.py usage)")
     p.add_argument("--mesh_resolution", type=int, default=512)
+    p.add_argument("--capacity", type=int, default=None,
+                   help="preallocated submap slots (system.submap_capacity)")
+    p.add_argument("--no_profile", action="store_true",
+                   help="disable the per-frame stage profiler")
     args = p.parse_args()
 
     from miso_tpu.config import load_config
@@ -75,6 +79,9 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     cfg = load_config(args.config)
     cfg["system"]["log_dir"] = args.save_dir
+    cfg["system"]["profile"] = not args.no_profile
+    if args.capacity:
+        cfg["system"]["submap_capacity"] = args.capacity
 
     if args.synthetic:
         from miso_tpu.datasets.sequence import SdfSequence, orbit_trajectory
@@ -168,6 +175,7 @@ def main():
         return trajectory_error(Te, Tg, align=True), Te
 
     ate_prefusion = None
+    fusion_time = None
     if atlas.num_submaps > 1:
         # Global consistency pass over the submap collection
         # (reference fuser.py:29-120).
@@ -175,15 +183,18 @@ def main():
 
         ate_prefusion = _ate()[0]
         print(f"{atlas.num_submaps} submaps | pre-fusion ATE "
-              f"{ate_prefusion['ate_rmse']*100:.2f} cm -> Fuser align + fuse")
+              f"{ate_prefusion['ate_rmse']*100:.2f} cm / "
+              f"{ate_prefusion['rot_rmse_deg']:.2f} deg -> Fuser align+fuse")
         cfg.setdefault("align", {}).update({"level_iters": 50,
                                             "finetune_iters": 50,
                                             "skip_finetune": False,
                                             "learning_rate": 2e-3})
+        t_fuse = time.time()
         fuser = Fuser(atlas, ds_map, cfg)
         fuser.align()
         fuser.fuse(feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
                    iterations=30)
+        fusion_time = time.time() - t_fuse
 
     # Trajectory + mesh artifacts (full_slam_newer_college.py:101-114).
     ate, T_est = _ate()
@@ -192,11 +203,26 @@ def main():
     save_mesh(atlas.params, atlas.global_bound(),
               os.path.join(args.save_dir, "mesh_final.ply"),
               resolution=args.mesh_resolution)
-    print(f"ATE rmse {ate['ate_rmse']*100:.2f} cm | slam {slam_time:.1f}s")
+    profile = system.profile_summary()
+    n_frames = atlas.num_keyframes
+    if profile:
+        fm = profile.get("frame_ms", {})
+        print(f"steady-state frame: median {fm.get('median', 0):.0f} ms "
+              f"(mean {fm.get('mean', 0):.0f}, p90 {fm.get('p90', 0):.0f}) | "
+              + " ".join(f"{k[:-3]}={v['median']:.0f}ms"
+                         for k, v in sorted(profile.items())
+                         if k.endswith("_ms") and k != "frame_ms"))
+    print(f"ATE rmse {ate['ate_rmse']*100:.2f} cm / "
+          f"{ate['rot_rmse_deg']:.2f} deg | {n_frames} frames, "
+          f"{atlas.num_submaps} submaps | slam {slam_time:.1f}s "
+          f"({1e3 * slam_time / max(n_frames, 1):.0f} ms/frame incl. compile)")
     with open(os.path.join(args.save_dir, "results.json"), "w") as f:
         json.dump({"ate": ate, "ate_prefusion": ate_prefusion,
                    "slam_time_sec": slam_time,
-                   "num_submaps": atlas.num_submaps}, f, indent=2)
+                   "fusion_time_sec": fusion_time,
+                   "num_frames": n_frames,
+                   "num_submaps": atlas.num_submaps,
+                   "frame_profile": profile}, f, indent=2)
 
 
 if __name__ == "__main__":

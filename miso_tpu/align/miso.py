@@ -448,13 +448,22 @@ def align_multiple_submaps_hierarchical(
         latent_levels: Optional[Sequence[int]] = None, skip_finetune=False,
         submap_pairs=None, pose_reg_weight=0.0, pose_thresh_m=1.0,
         pose_thresh_rad=1.0, gm_scale_sdf=0.1, verbose=False,
-        save_iterations=False, seed=0, vmap_pairs=True):
+        save_iterations=False, seed=0, vmap_pairs=True, mesh=None,
+        pair_axis="data"):
     """Coarse-to-fine latent alignment + optional SDF finetune
     (reference miso.py:217-322).
 
     ``vmap_pairs`` (default): evaluate every submap pair through ONE
     vmapped loss per step -- compile time flat in the number of pairs.
     Set False for the reference-style unrolled pair loop.
+
+    ``mesh``: optional jax.sharding.Mesh -- shard the vmapped pair axis
+    over ``pair_axis`` so pair losses evaluate device-parallel and the
+    pose-grad reduction rides ICI as a psum (SURVEY section 2.10;
+    parallel/sharding.shard_pair_ctx).  Pair count is padded to the
+    mesh axis with inert pairs; identical result to the single-device
+    path when subsample_points is None (padding changes the per-pair
+    key split otherwise).
     """
     atlas.precompute_coordinates_for_alignment()
     info: Dict = {}
@@ -479,7 +488,11 @@ def align_multiple_submaps_hierarchical(
         dst = jnp.asarray([d for _, d in pairs], jnp.int32)
         cf = jnp.stack([coords[s][0] for s, _ in pairs])
         vf = jnp.stack([coords[s][1] for s, _ in pairs])
-        return (src, dst, cf, vf)
+        ctx = (src, dst, cf, vf)
+        if mesh is not None:
+            from miso_tpu.parallel.sharding import shard_pair_ctx
+            ctx = shard_pair_ctx(ctx, mesh, pair_axis)
+        return ctx
 
     for level in latent_levels:
         coords = {s: atlas.coordinates_for_alignment(s, level)

@@ -88,6 +88,43 @@ def data_parallel_train_step(loss_fn, mesh: Mesh, axis: str = "data"):
     return jax.jit(step, donate_argnums=(1,))
 
 
+def pad_pair_ctx(ctx, multiple: int):
+    """Pad a vmapped-alignment pair context (src_ids, dst_ids, coords,
+    valid) to a multiple of ``multiple`` rows with inert pairs
+    (src=dst=0, valid=0 -> zero loss, zero grads), so the pair axis
+    divides the mesh axis."""
+    src, dst, coords, valid = (jnp.asarray(x) for x in ctx)
+    np_pairs = src.shape[0]
+    rem = (-np_pairs) % multiple
+    if rem == 0:
+        return src, dst, coords, valid
+    z = jnp.zeros((rem,), src.dtype)
+    pad_coords = jnp.broadcast_to(coords[:1], (rem,) + coords.shape[1:])
+    pad_valid = jnp.zeros((rem,) + valid.shape[1:], valid.dtype)
+    return (jnp.concatenate([src, z]), jnp.concatenate([dst, z]),
+            jnp.concatenate([coords, pad_coords]),
+            jnp.concatenate([valid, pad_valid]))
+
+
+def shard_pair_ctx(ctx, mesh: Mesh, axis: str = "data"):
+    """Shard the alignment pair axis over the mesh (SURVEY section 2.10
+    pairwise-parallelism row: device-parallel pair evaluation + global
+    grad psum; the reference loops pairs on one GPU,
+    align/base.py:127-146).
+
+    Pads to the mesh axis size first (see pad_pair_ctx); per-pair losses
+    evaluate device-local, the scalar sum and the pose-gradient
+    reduction become psums over ICI inserted by XLA.
+    """
+    ctx = pad_pair_ctx(ctx, mesh.shape[axis])
+
+    def place(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    return tuple(place(x) for x in ctx)
+
+
 def shard_atlas(params, mesh: Mesh, axis: str = "submap"):
     """Shard GridAtlasParams over the submap axis.
 

@@ -24,6 +24,7 @@ class Mapper:
         self.lr = c.get("learning_rate", 1e-3)
         self.verbose = c.get("verbose", False)
         self.disable = bool(c.get("disable", False))
+        self.last_sample_time = 0.0
         self.loss_fn = make_loss(
             mapping_loss,
             loss_type=c.get("loss_type", "L1"),
@@ -66,3 +67,4 @@ class Mapper:
         trainer = GridTrainer(cfg_train, self.grid, self.loss_fn, self.dataset,
                               mask_for_level=mask_for_level)
         self.grid = trainer.train()
+        self.last_sample_time = trainer.sample_time

@@ -47,7 +47,18 @@ class System:
         self.init_iters = cfg["mapping"].get("init_iterations", 50)
         self.init_odom = cfg["system"].get("init_odom", "external")
         self.log_dir = cfg["system"].get("log_dir", "./results/default")
+        # Per-frame stage breakdown (cfg system.profile: true).  The
+        # summary's medians are the compile-excluded steady state
+        # (utils/profiling.StageProfiler).
+        self.profiler = None
+        if cfg["system"].get("profile", False):
+            from miso_tpu.utils.profiling import StageProfiler
+
+            self.profiler = StageProfiler()
         self.initialize_system(R_world_origin, t_world_origin)
+
+    def profile_summary(self):
+        return self.profiler.summary() if self.profiler else None
 
     # -- helpers -----------------------------------------------------------
     def current_kf_id(self) -> int:
@@ -185,6 +196,13 @@ class System:
         assert self.current_kf_id() >= 0, "Call initialize_system() first."
         stop = self.dataset_map.num_kfs if max_frames is None else \
             min(self.dataset_map.num_kfs, max_frames)
+        import contextlib
+
+        prof = self.profiler
+
+        def stage(name, sync=None):
+            return prof.stage(name, sync) if prof else contextlib.nullcontext()
+
         while self.model.num_keyframes < stop:
             if self.should_create_new_submap():
                 if self.cfg["system"].get("save_submap_mesh", False):
@@ -193,12 +211,26 @@ class System:
                     save_mesh(grid, grid.bound,
                               os.path.join(self.log_dir, f"submap_{s}.ply"),
                               resolution=256)
-                self.initialize_next_submap()
+                if prof:
+                    prof.start_frame(self.current_kf_id() + 1)
+                    prof.mark("new_submap")
+                    with prof.stage("submap_init",
+                                    sync=lambda: self.mapper.grid.features):
+                        self.initialize_next_submap()
+                    prof.end_frame()
+                else:
+                    self.initialize_next_submap()
                 self.first_frame_in_submap = self.current_kf_id()
                 continue
-            self.initialize_next_kf_in_submap()
+            if prof:
+                prof.start_frame(self.current_kf_id() + 1)
+            with stage("odom"):
+                self.initialize_next_kf_in_submap()
             head_kf = self.current_kf_id()
-            self.tracker.track(optimize_kf=head_kf)
+            with stage("track", sync=lambda: self.tracker.grid.rot_corr):
+                self.tracker.track(optimize_kf=head_kf)
+            if prof:
+                prof.add("track_sample", self.tracker.last_sample_time)
             self._push_grid()
             # Replay window (system.py:190-196), padded to a FIXED slot
             # count: on TPU a varying keyframe count would recompile the
@@ -214,13 +246,20 @@ class System:
             base = list(mapping_kfs)
             while len(mapping_kfs) < slots:
                 mapping_kfs.append(base[len(mapping_kfs) % len(base)])
-            self.mapper.mapping(mapping_kfs, iterations=self.map_iters,
-                                level_iterations=self.map_level_iters)
+            with stage("map", sync=lambda: self.mapper.grid.features):
+                self.mapper.mapping(mapping_kfs, iterations=self.map_iters,
+                                    level_iterations=self.map_level_iters)
+            if prof:
+                prof.add("map_sample", self.mapper.last_sample_time)
             self.tracker.grid = self.mapper.grid
-            self._sync_submap_from_tracker_mapper()
+            with stage("sync", sync=lambda: self.model.params.features):
+                self._sync_submap_from_tracker_mapper()
             # Visualization artifacts.
-            pts = self.dataset_track.sampled_points_at_kf(head_kf)
-            self.visualizer.set_current_frame_points(np.asarray(pts))
-            self.visualizer.update_geometries(stop_frame=head_kf + 1)
-            self.visualizer.update_view()
+            with stage("vis"):
+                pts = self.dataset_track.sampled_points_at_kf(head_kf)
+                self.visualizer.set_current_frame_points(np.asarray(pts))
+                self.visualizer.update_geometries(stop_frame=head_kf + 1)
+                self.visualizer.update_view()
+            if prof:
+                prof.end_frame()
         self.visualizer.quit()

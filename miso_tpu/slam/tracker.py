@@ -142,6 +142,7 @@ class Tracker:
         self.disable = bool(c.get("disable", False))
         self.latest_fov_overlap = 1.0
         self.initial_fov_overlap = 1.0
+        self.last_sample_time = 0.0
         self._warned_overlap = False
         self._rng = np.random.default_rng(c.get("seed", 0))
         # Built once: the trainer's step cache is keyed on loss-fn
@@ -198,9 +199,12 @@ class Tracker:
         if self.lm_scan and self.lm_max_iter >= 1 and not self.verbose:
             # One dispatch per frame: pre-sample all iteration batches,
             # scan the LM steps with on-device tolerance freezing.
+            import time as _time
+            t0 = _time.perf_counter()
             batches = [self.dataset.sample(self._rng)
                        for _ in range(self.lm_max_iter)]
             stack = lambda k: jnp.asarray(np.stack([b[k] for b in batches]))
+            self.last_sample_time = _time.perf_counter() - t0
             self.grid, infos = lm_solve(
                 self.grid, stack("coords_frame"), stack("sdf"),
                 stack("sdf_valid"), kf_local,

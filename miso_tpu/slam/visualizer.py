@@ -28,6 +28,10 @@ class Visualizer:
         self.enable = bool(c.get("enable", False))
         self.mesh_vis_freq = int(c.get("mesh_vis_freq", 10))
         self.mesh_resolution = int(c.get("mesh_resolution", 128))
+        # Periodic live meshes default to bf16 feature storage at query
+        # time (~2.5x faster extraction, f32 accumulate; parity tested
+        # in tests/test_utils_misc.py).  Set to null/None for f32.
+        self.mesh_dtype = c.get("mesh_feature_dtype", "bfloat16")
         self.show_mesh = bool(c.get("show_mesh", True))
         self.log_dir = cfg.get("system", {}).get("log_dir", "./results/default")
         self._frame_points: Optional[np.ndarray] = None
@@ -63,7 +67,8 @@ class Visualizer:
                 mesh = save_mesh(
                     self.atlas.params, self.atlas.global_bound(),
                     os.path.join(self.log_dir, f"mesh_frame{stop_frame:05d}.ply"),
-                    resolution=self.mesh_resolution)
+                    resolution=self.mesh_resolution,
+                    feature_dtype=self.mesh_dtype)
             except Exception as e:  # meshing must never kill SLAM
                 print(f"[visualizer] mesh export failed: {e}")
         if self.live is not None:

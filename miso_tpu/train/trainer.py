@@ -188,6 +188,7 @@ class Trainer:
         self._params_prev = None
         self.relchange = np.inf
         self.total_epoch_time = 0.0
+        self.sample_time = 0.0   # host-side dataset.sample + stacking
         self.start_epoch = 0
         self._train_start = time.process_time()
 
@@ -247,6 +248,7 @@ class Trainer:
         stacked = {name: jnp.asarray(np.stack([np.asarray(b[name])
                                                for b in batches]))
                    for name in batches[0]}
+        self.sample_time += time.perf_counter() - t0
         scan_fn = make_train_scan(self.loss_fn, self.optimizer_name)
         self.key, sub = jax.random.split(self.key)
         self.model, self.opt_state, tls = scan_fn(
@@ -258,8 +260,11 @@ class Trainer:
         self.total_epoch_time += time.perf_counter() - t0
 
     def _next_batch(self):
+        t0 = time.perf_counter()
         batch = self.dataset.sample(self.rng)
-        return {k: jnp.asarray(v) for k, v in batch.items()}
+        out = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.sample_time += time.perf_counter() - t0
+        return out
 
     def train_epoch(self, epoch: int):
         t0 = time.perf_counter()

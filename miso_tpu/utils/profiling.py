@@ -37,6 +37,77 @@ class PerfTimer:
                 time.perf_counter() - self._wall0)
 
 
+class StageProfiler:
+    """Per-frame, per-stage wall-clock breakdown for the SLAM loop.
+
+    Each frame accumulates named stage durations; ``summary()`` reports
+    per-stage median / mean / p90 over frames.  The MEDIAN is the
+    compile-excluded steady-state number: XLA compiles hit only the
+    first frame of each (shape, executable) class, so they appear as a
+    handful of outlier frames that the median ignores while the mean
+    exposes.  Used by slam.System (cfg system.profile: true) to explain
+    ms/frame by its parts (track / map / sync / host sampling).
+    """
+
+    def __init__(self):
+        self.frames = []
+        self._cur: Optional[Dict] = None
+
+    def start_frame(self, frame: int):
+        self._cur = {"frame": frame}
+
+    def add(self, name: str, dt: float):
+        if self._cur is not None:
+            self._cur[name] = self._cur.get(name, 0.0) + dt
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync: Any = None):
+        if self._cur is None:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                jax.block_until_ready(sync() if callable(sync) else sync)
+            self.add(name, time.perf_counter() - t0)
+
+    def mark(self, name: str):
+        if self._cur is not None:
+            self._cur[name] = True
+
+    def end_frame(self):
+        if self._cur is not None:
+            self.frames.append(self._cur)
+            self._cur = None
+
+    def summary(self) -> Dict:
+        import numpy as np
+
+        keys = set()
+        for f in self.frames:
+            keys.update(k for k, v in f.items()
+                        if k != "frame" and isinstance(v, float))
+        out: Dict = {"n_frames": len(self.frames)}
+        totals = []
+        for f in self.frames:
+            totals.append(sum(v for k, v in f.items()
+                              if k != "frame" and isinstance(v, float)
+                              and not k.endswith("_sample")))
+        if totals:
+            out["frame_ms"] = {
+                "median": 1e3 * float(np.median(totals)),
+                "mean": 1e3 * float(np.mean(totals)),
+                "p90": 1e3 * float(np.percentile(totals, 90))}
+        for k in sorted(keys):
+            vals = np.asarray([f.get(k, 0.0) for f in self.frames])
+            out[k + "_ms"] = {"median": 1e3 * float(np.median(vals)),
+                              "mean": 1e3 * float(np.mean(vals)),
+                              "p90": 1e3 * float(np.percentile(vals, 90))}
+        return out
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler trace (view with TensorBoard / xprof)."""

@@ -132,13 +132,43 @@ def extract_fields(query_func: Callable, bound, resolution: int,
     return vals[:n].reshape(resolution, resolution, resolution)
 
 
-def extract_geometry(query_func, bound, resolution=256, threshold=0.0):
+def cast_feature_storage(query_func, dtype=jnp.bfloat16):
+    """Cast grid feature/stability storage to a query dtype.
+
+    bf16 features halve gather HBM traffic on query-only paths (measured
+    ~2.5x on meshing/eval/tracking forwards, bench.py docstring) while
+    the lerp/decode still accumulates in f32 (jax promotes bf16 * f32
+    -> f32).  Works on GridNet / GridAtlasParams (``features`` /
+    ``stability`` tuples) and on ObservedQuery wrappers (casts the
+    wrapped model).  Other callables are returned unchanged.
+    """
+    if isinstance(query_func, ObservedQuery):
+        return query_func.replace(
+            model=cast_feature_storage(query_func.model, dtype))
+    kw = {}
+    if hasattr(query_func, "features"):
+        kw["features"] = tuple(f.astype(dtype) for f in query_func.features)
+    if hasattr(query_func, "stability"):
+        kw["stability"] = tuple(s.astype(dtype) for s in query_func.stability)
+    if kw and hasattr(query_func, "replace"):
+        return query_func.replace(**kw)
+    return query_func
+
+
+def extract_geometry(query_func, bound, resolution=256, threshold=0.0,
+                     feature_dtype=None):
     """Field eval + marching cubes -> (verts, tris) in world coords.
 
-    Reference utils_sdf.py:89-101 (mcubes + rescale).
+    Reference utils_sdf.py:89-101 (mcubes + rescale).  ``feature_dtype``
+    (e.g. jnp.bfloat16 or "bfloat16"): cast grid storage at query time
+    for ~2.5x faster field extraction, f32 accumulation (see
+    cast_feature_storage).
     """
     from miso_tpu.native import marching_cubes
 
+    if feature_dtype is not None:
+        query_func = cast_feature_storage(query_func,
+                                          jnp.dtype(feature_dtype))
     b = np.asarray(bound, np.float32)
     u = extract_fields(query_func, bound, resolution)
     spacing = (b[:, 1] - b[:, 0]) / (resolution - 1.0)
@@ -147,15 +177,17 @@ def extract_geometry(query_func, bound, resolution=256, threshold=0.0):
 
 
 def save_mesh(query_func, bound, save_path: Optional[str] = None,
-              resolution: int = 256, transform: Optional[np.ndarray] = None):
+              resolution: int = 256, transform: Optional[np.ndarray] = None,
+              feature_dtype=None):
     """Extract a mesh and optionally write a binary PLY.
 
     Returns a native TriangleMesh (reference utils_sdf.py:104-140 returns
-    an open3d mesh).
+    an open3d mesh).  ``feature_dtype``: see extract_geometry.
     """
     from miso_tpu.native import TriangleMesh
 
-    verts, tris = extract_geometry(query_func, bound, resolution)
+    verts, tris = extract_geometry(query_func, bound, resolution,
+                                   feature_dtype=feature_dtype)
     if transform is not None:
         T = np.asarray(transform)
         verts = verts @ T[:3, :3].T + T[:3, 3]

@@ -78,3 +78,81 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (args[1].shape[0], 1)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pair_sharded_alignment_matches_single_device():
+    """Alignment with the vmapped pair axis sharded over the 8-device
+    mesh (pairs padded 3 -> 8 with inert rows, grads psum'd by XLA)
+    produces the same pose updates as the unsharded path (SURVEY
+    section 2.10 pairwise-parallelism row; VERDICT r2 item 3)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_atlas_align import build_atlas
+
+    from miso_tpu.align.miso import (generic_align_multiple_submaps,
+                                     make_vmapped_pair_loss)
+    from miso_tpu.parallel.sharding import pad_pair_ctx, shard_pair_ctx
+
+    def run(shard):
+        atlas = build_atlas(3, offset=0.4)
+        atlas.set_submap_pose_correction(
+            1, np.array([0, 0, 0.05], np.float32),
+            np.array([0.05, -0.03, 0.02], np.float32))
+        atlas.precompute_coordinates_for_alignment()
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        coords = {s: atlas.coordinates_for_alignment(s, 0) for s in range(3)}
+        ctx = (jnp.asarray([s for s, _ in pairs], jnp.int32),
+               jnp.asarray([d for _, d in pairs], jnp.int32),
+               jnp.stack([coords[s][0] for s, _ in pairs]),
+               jnp.stack([coords[s][1] for s, _ in pairs]))
+        if shard == "pad_only":
+            # Padding alone must not change the result.
+            ctx = pad_pair_ctx(ctx, 8)
+        elif shard:
+            mesh = make_mesh(8, axes=("data",))
+            ctx = shard_pair_ctx(ctx, mesh, "data")
+            assert ctx[2].sharding.is_fully_replicated is False
+        loss = make_vmapped_pair_loss("latent", level=0, align_weight=100.0)
+        generic_align_multiple_submaps(
+            atlas, loss, num_iters=15, lr=5e-3, batched_loss=True,
+            loss_ctx=ctx, seed=3, scan=True)
+        return (np.asarray(atlas.params.sub_rot_corr),
+                np.asarray(atlas.params.sub_trans_corr))
+
+    r_one, t_one = run(False)
+    r_pad, t_pad = run("pad_only")
+    r_shard, t_shard = run(True)
+    assert np.abs(t_one[1:]).max() > 0
+    np.testing.assert_allclose(r_pad, r_one, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(t_pad, t_one, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(r_shard, r_one, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(t_shard, t_one, rtol=1e-5, atol=1e-6)
+
+
+def test_hierarchical_alignment_with_mesh():
+    """align_multiple_submaps_hierarchical(mesh=...) runs the full
+    latent+sdf pipeline with the pair axis sharded."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_atlas_align import build_atlas
+
+    from miso_tpu.align.miso import align_multiple_submaps_hierarchical
+    from miso_tpu.ops import se3
+
+    atlas = build_atlas(3, offset=0.5)
+    rng = np.random.default_rng(3)
+    true_t = np.array([[0.5 * s, 0, 0] for s in range(3)], np.float32)
+    for s in range(1, 3):
+        atlas.set_submap_pose_correction(
+            s, rng.normal(0, 0.02, 3).astype(np.float32),
+            rng.normal(0, 0.04, 3).astype(np.float32))
+    R, t = atlas.params.updated_submap_poses()
+    err0 = float(np.linalg.norm(np.asarray(t) - true_t, axis=1).mean())
+    mesh = make_mesh(8, axes=("data",))
+    align_multiple_submaps_hierarchical(
+        atlas, level_iters=60, lr=5e-3, align_weight=3000.0,
+        latent_levels=[0], skip_finetune=False, finetune_iters=20,
+        mesh=mesh)
+    R, t = atlas.params.updated_submap_poses()
+    err1 = float(np.linalg.norm(np.asarray(t) - true_t, axis=1).mean())
+    assert err1 < 0.6 * err0, (err0, err1)

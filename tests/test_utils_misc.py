@@ -125,3 +125,45 @@ def test_extract_fields_plain_callable(rng):
     c = -1 + 8 * (2 / 15)           # lattice node coordinate
     expect = np.sqrt(3 * c * c) - 0.5
     assert abs(float(u[8, 8, 8]) - expect) < 1e-5
+
+
+def test_bf16_query_mesh_parity(rng):
+    """feature_dtype=bfloat16 meshing (cast-at-query, f32 accumulate)
+    reproduces the f32 mesh to within bf16 mantissa noise (VERDICT r2
+    item 8; production meshing/eval path)."""
+    import jax
+
+    from miso_tpu.models.grid_net import create_grid_net
+    from miso_tpu.utils.eval import mesh_reconstruction_metrics
+    from miso_tpu.utils.sdf import (cast_feature_storage, extract_fields,
+                                    save_mesh)
+
+    cfg = {"spatial_dim": 3,
+           "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 0.3,
+                    "bound": [[-1, 1], [-1, 1], [-1, 1]],
+                    "base_cell_size": 0.25, "per_level_scale": 2.0,
+                    "n_levels": 2},
+           "decoder": {"type": "mlp", "hidden_dim": 16, "hidden_layers": 1,
+                       "out_dim": 1, "pos_invariant": True, "fix": False,
+                       "pretrained_model": None},
+           "pose": {"optimize": False, "num_poses": 1}}
+    model = create_grid_net(jax.random.PRNGKey(2), cfg)
+
+    # Field parity: bf16 storage, f32 accumulate.
+    m16 = cast_feature_storage(model)
+    assert m16.features[0].dtype == jnp.bfloat16
+    u32 = extract_fields(model, model.bound, 24, chunk=2048)
+    u16 = extract_fields(m16, model.bound, 24, chunk=2048)
+    assert u16.dtype == np.float32  # accumulation stays f32
+    scale = np.abs(u32).max()
+    assert np.abs(u16 - u32).max() < 0.02 * max(scale, 1e-3), (
+        np.abs(u16 - u32).max(), scale)
+
+    # Mesh-metric parity through save_mesh(feature_dtype=...).
+    mesh32 = save_mesh(model, model.bound, resolution=48)
+    mesh16 = save_mesh(model, model.bound, resolution=48,
+                       feature_dtype="bfloat16")
+    if len(mesh32.vertices) > 50:
+        m = mesh_reconstruction_metrics(mesh16, mesh32, n_points=5000,
+                                        threshold=0.05, truncation=0.5)
+        assert m["F-score (%)"] > 95, m
