@@ -143,8 +143,10 @@ def main():
             near_surface_n=4, free_space_n=2, behind_surface_n=1)
 
     if args.synthetic:
+        t0 = time.time()
         dec = pretrain_decoder_synthetic(mesh_gt, cfg["model"], 0.5)
         cfg["model"]["decoder"]["fix"] = True
+        print(f"decoder pretrain {time.time() - t0:.1f}s", flush=True)
     atlas = GridAtlas(cfg["model"],
                       max_kfs_per_submap=cfg["system"]["submap_size"],
                       capacity=cfg["system"].get("submap_capacity"))

@@ -295,11 +295,18 @@ def _corner_gather(grids, x, bound, sizes=None):
         F = grid.shape[-1]
         size = None if sizes is None else sizes[level]
         lin, w = corner_indices_and_weights(x, bound, spatial, size)
-        flat = grid.reshape(-1, F)
-        cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
-        # (C, N, F) -> (C*F, N) rows of (corner, feature) pairs.
-        cf_rows.append(jnp.transpose(cf, (0, 2, 1)).reshape(2 ** d * F, N)
-                       .astype(jnp.float32))
+        # One flat element gather emits cfT DIRECTLY in (C*F, N) layout:
+        # row (corner c, feature f), flat index lin[c]*F + f.  The
+        # previous (C, N, F) row-gather + transpose hit the pathological
+        # (N, F) minor-dim relayout (measured 3000x the XLA step;
+        # CLAUDE.md rule 3) -- this formulation never materializes an
+        # N-minor array.
+        flat = grid.reshape(-1)
+        idx = (lin[:, None, :] * F
+               + jnp.arange(F, dtype=jnp.int32)[None, :, None])  # (C, F, N)
+        cf = jnp.take(flat, idx.reshape(-1), axis=0) \
+            .reshape(2 ** d * F, N).astype(jnp.float32)
+        cf_rows.append(cf)
         w_rows.append(w.astype(jnp.float32))
     return jnp.concatenate(cf_rows, axis=0), jnp.concatenate(w_rows, axis=0)
 

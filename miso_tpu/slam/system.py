@@ -262,4 +262,10 @@ class System:
                 self.visualizer.update_view()
             if prof:
                 prof.end_frame()
+            if self.verbose and head_kf % 25 == 0:
+                import time as _time
+
+                print(f"[slam] frame {head_kf}/{stop} "
+                      f"submap {self.model.curr_submap_id} "
+                      f"({_time.strftime('%H:%M:%S')})", flush=True)
         self.visualizer.quit()

@@ -231,3 +231,44 @@ def test_lm_solve_matches_sequential_lm_steps(seq):
     np.testing.assert_allclose(np.asarray(g_scan.trans_corr),
                                np.asarray(g_seq.trans_corr), atol=1e-6)
     assert infos["fov_overlap"].shape == (k,)
+
+
+@pytest.mark.slow
+def test_system_multi_submap_profiled(seq, pretrained_decoder_path):
+    """Multi-submap System run with a capacity-preallocated atlas and the
+    per-frame stage profiler: spawns submaps past the initial capacity
+    (geometric regrow), finishes the sequence, and the profile summary
+    explains ms/frame by stage (VERDICT r2 item 1 harness)."""
+    model_cfg = dict(MODEL_CFG)
+    model_cfg["decoder"] = dict(MODEL_CFG["decoder"], fix=True,
+                                pretrained_model=pretrained_decoder_path)
+    cfg = {k: (dict(v) if isinstance(v, dict) else v) for k, v in CFG.items()}
+    cfg["system"] = dict(CFG["system"], submap_size=3, profile=True)
+    atlas = GridAtlas(model_cfg, max_kfs_per_submap=3, capacity=2)
+    R0, t0 = seq.true_kf_pose_in_world(0)
+    system = System(atlas, seq, seq, cfg, R_world_origin=R0, t_world_origin=t0)
+    system.run()
+    assert atlas.num_keyframes == seq.num_kfs
+    assert atlas.num_submaps == 4          # 12 frames / submap_size 3
+    assert atlas.params.Rws.shape[0] >= 4  # grew past capacity 2
+    act = np.asarray(atlas.params.active)
+    assert act[:4].all() and not act[4:].any()
+    prof = system.profile_summary()
+    assert prof["n_frames"] >= seq.num_kfs - 1
+    for k in ("track_ms", "map_ms", "sync_ms", "frame_ms"):
+        assert k in prof and np.isfinite(prof[k]["median"]), (k, prof)
+    # Sampling sub-stages are recorded and bounded by their stages.
+    assert prof["map_sample_ms"]["median"] <= prof["map_ms"]["median"]
+    # Fuser align+fuse runs on the multi-submap atlas (scanned path).
+    from miso_tpu.slam.fuser import Fuser
+
+    fuser = Fuser(atlas, seq, cfg)
+    fuser.align()
+    fuser.fuse(feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
+               iterations=5)
+    R, t = atlas.params.updated_kf_poses_in_world()
+    t_est = np.asarray(t)[: seq.num_kfs]
+    t_gt = np.stack([seq.true_kf_pose_in_world(k)[1]
+                     for k in range(seq.num_kfs)])
+    ate = np.sqrt(((t_est - t_gt) ** 2).sum(-1).mean())
+    assert ate < 0.4, f"ATE {ate:.3f} m"
