@@ -67,6 +67,9 @@ def main():
                    help="preallocated submap slots (system.submap_capacity)")
     p.add_argument("--no_profile", action="store_true",
                    help="disable the per-frame stage profiler")
+    p.add_argument("--decoder_cache", default="/tmp/ncd_synth_decoder.npz",
+                   help="reuse the synthetic pretrained decoder across runs"
+                        " ('' disables)")
     args = p.parse_args()
 
     from miso_tpu.config import load_config
@@ -143,10 +146,30 @@ def main():
             near_surface_n=4, free_space_n=2, behind_surface_n=1)
 
     if args.synthetic:
+        import jax as _jax
+
+        from miso_tpu.models.grid_net import create_grid_net
+        from miso_tpu.train.checkpoint import load_pytree, save_pytree
+
         t0 = time.time()
-        dec = pretrain_decoder_synthetic(mesh_gt, cfg["model"], 0.5)
+        cache = args.decoder_cache
+        like = None
+        if cache and os.path.exists(cache):
+            c2 = {k: (dict(v) if isinstance(v, dict) else v)
+                  for k, v in cfg["model"].items()}
+            c2["pose"] = {"optimize": False, "num_poses": 1}
+            like = create_grid_net(_jax.random.PRNGKey(0), c2).decoder
+            try:
+                dec = load_pytree(cache, like)
+                print(f"decoder loaded from {cache}", flush=True)
+            except Exception:
+                like = None
+        if like is None:
+            dec = pretrain_decoder_synthetic(mesh_gt, cfg["model"], 0.5)
+            if cache:
+                save_pytree(cache, dec)
+            print(f"decoder pretrain {time.time() - t0:.1f}s", flush=True)
         cfg["model"]["decoder"]["fix"] = True
-        print(f"decoder pretrain {time.time() - t0:.1f}s", flush=True)
     atlas = GridAtlas(cfg["model"],
                       max_kfs_per_submap=cfg["system"]["submap_size"],
                       capacity=cfg["system"].get("submap_capacity"))
@@ -202,9 +225,6 @@ def main():
     ate, T_est = _ate()
     write_kitti_format_poses(os.path.join(args.save_dir, "traj_est_kitti.txt"),
                              T_est)
-    save_mesh(atlas.params, atlas.global_bound(),
-              os.path.join(args.save_dir, "mesh_final.ply"),
-              resolution=args.mesh_resolution)
     profile = system.profile_summary()
     n_frames = atlas.num_keyframes
     if profile:
@@ -225,6 +245,12 @@ def main():
                    "num_frames": n_frames,
                    "num_submaps": atlas.num_submaps,
                    "frame_profile": profile}, f, indent=2)
+    # Mesh last: a meshing fault must not lose the run's results.json.
+    t0 = time.time()
+    save_mesh(atlas.params, atlas.global_bound(),
+              os.path.join(args.save_dir, "mesh_final.ply"),
+              resolution=args.mesh_resolution, feature_dtype="bfloat16")
+    print(f"mesh {args.mesh_resolution}^3 {time.time() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":

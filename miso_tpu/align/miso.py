@@ -449,7 +449,7 @@ def align_multiple_submaps_hierarchical(
         submap_pairs=None, pose_reg_weight=0.0, pose_thresh_m=1.0,
         pose_thresh_rad=1.0, gm_scale_sdf=0.1, verbose=False,
         save_iterations=False, seed=0, vmap_pairs=True, mesh=None,
-        pair_axis="data"):
+        pair_axis="data", max_align_points=None):
     """Coarse-to-fine latent alignment + optional SDF finetune
     (reference miso.py:217-322).
 
@@ -464,8 +464,14 @@ def align_multiple_submaps_hierarchical(
     mesh axis with inert pairs; identical result to the single-device
     path when subsample_points is None (padding changes the per-pair
     key split otherwise).
+
+    ``max_align_points``: cap the per-(submap, level) alignment vertex
+    count (random downselect at precompute).  On large atlases the
+    uncapped fine-level vertex sets reach ~1e6 points/submap; with tens
+    of pairs that is a multi-GB pair context and a device-killing loss
+    body.  SLAM's Fuser caps this via cfg align.max_points.
     """
-    atlas.precompute_coordinates_for_alignment()
+    atlas.precompute_coordinates_for_alignment(max_points=max_align_points)
     info: Dict = {}
     cpu_total = 0.0
     if latent_levels is None:

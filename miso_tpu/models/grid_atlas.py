@@ -25,6 +25,7 @@ Structure:
 from __future__ import annotations
 
 import copy
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -36,6 +37,48 @@ from miso_tpu.models.grid_net import GridNet, create_grid_net
 from miso_tpu.ops import interp, se3
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _read_submap(feats, stabs, s, shapes):
+    """One jitted dispatch extracting submap s's (possibly unpadded)
+    grids; eager per-level f[s] indexing costs one device round trip
+    per array, which adds up in the per-frame SLAM sync path."""
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def go(feats, stabs, shapes, s):
+        outs_f, outs_s = [], []
+        for level, (f, st) in enumerate(zip(feats, stabs)):
+            shp = f.shape[1:] if shapes is None else \
+                tuple(shapes[level]) + (f.shape[-1],)
+            start = (s,) + (0,) * (f.ndim - 1)
+            outs_f.append(jax.lax.dynamic_slice(f, start, (1,) + shp)[0])
+            st_shp = shp[:-1] + (st.shape[-1],)
+            outs_s.append(jax.lax.dynamic_slice(st, start, (1,) + st_shp)[0])
+        return tuple(outs_f), tuple(outs_s)
+
+    shapes_key = None if shapes is None else tuple(tuple(int(v) for v in sh)
+                                                   for sh in shapes)
+    return go(feats, stabs, shapes_key, jnp.asarray(s))
+
+
+def _write_submap(feats, stabs, kf_rc, kf_tc, Rsk, tsk, s,
+                  g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk):
+    """One jitted dispatch writing a GridNet back into slot s (the
+    per-frame SLAM sync hot path; eager .at[].set issues one dispatch
+    and one full-array copy per array)."""
+    @jax.jit
+    def go(feats, stabs, kf_rc, kf_tc, Rsk, tsk, s,
+           g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk):
+        def upd(dst, src):
+            start = (s,) + (0,) * (dst.ndim - 1)
+            return jax.lax.dynamic_update_slice(dst, src[None], start)
+
+        return (tuple(upd(f, g) for f, g in zip(feats, g_feats)),
+                tuple(upd(st, g) for st, g in zip(stabs, g_stabs)),
+                kf_rc.at[s].set(g_rc), kf_tc.at[s].set(g_tc),
+                Rsk.at[s].set(g_Rwk), tsk.at[s].set(g_twk))
+
+    return go(feats, stabs, kf_rc, kf_tc, Rsk, tsk, jnp.asarray(s),
+              g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk)
 
 
 @jax.jit
@@ -236,20 +279,10 @@ class GridAtlasParams(struct.PyTreeNode):
         single submap means 'submap frame' (the reference's Tracker /
         Mapper operate on the current submap's GridNet the same way).
         """
-        feats = []
-        stabs = []
-        for level in range(self.num_levels):
-            f = self.features[level][s]
-            st = self.stability[level][s]
-            if shapes is not None:
-                sl = tuple(slice(0, n) for n in shapes[level])
-                f = f[sl]
-                st = st[sl]
-            feats.append(f)
-            stabs.append(st)
+        feats, stabs = _read_submap(self.features, self.stability, s, shapes)
         return GridNet(
-            features=tuple(feats),
-            stability=tuple(stabs),
+            features=feats,
+            stability=stabs,
             decoder=self.decoder,
             rot_corr=self.kf_rot_corr[s],
             trans_corr=self.kf_trans_corr[s],
@@ -270,24 +303,21 @@ class GridAtlasParams(struct.PyTreeNode):
     def with_submap(self, s: int, grid: GridNet,
                     shapes: Optional[Sequence[Tuple[int, ...]]] = None
                     ) -> "GridAtlasParams":
-        """Write a (possibly trained) GridNet back into slot s."""
-        feats = list(self.features)
-        stabs = list(self.stability)
-        for level in range(self.num_levels):
-            if shapes is not None:
-                sl = (s,) + tuple(slice(0, n) for n in shapes[level])
-            else:
-                sl = (s,)
-            feats[level] = feats[level].at[sl].set(grid.features[level])
-            stabs[level] = stabs[level].at[sl].set(grid.stability[level])
+        """Write a (possibly trained) GridNet back into slot s (one
+        jitted dispatch; the per-frame SLAM sync path)."""
+        feats, stabs, kf_rc, kf_tc, Rsk, tsk = _write_submap(
+            self.features, self.stability, self.kf_rot_corr,
+            self.kf_trans_corr, self.Rsk, self.tsk, s,
+            grid.features, grid.stability, grid.rot_corr, grid.trans_corr,
+            grid.Rwk, grid.twk)
         return self.replace(
-            features=tuple(feats),
-            stability=tuple(stabs),
+            features=feats,
+            stability=stabs,
             decoder=grid.decoder,
-            kf_rot_corr=self.kf_rot_corr.at[s].set(grid.rot_corr),
-            kf_trans_corr=self.kf_trans_corr.at[s].set(grid.trans_corr),
-            Rsk=self.Rsk.at[s].set(grid.Rwk),
-            tsk=self.tsk.at[s].set(grid.twk),
+            kf_rot_corr=kf_rc,
+            kf_trans_corr=kf_tc,
+            Rsk=Rsk,
+            tsk=tsk,
         )
 
 

@@ -44,14 +44,24 @@ class Fuser:
             pose_thresh_rad=math.radians(c.get("pose_thresh_deg", 45.0)),
             verbose=c.get("verbose", False),
             save_iterations=c.get("save_iterations", False),
+            max_align_points=c.get("max_points", 32768),
         )
 
     def fuse(self, feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
-             iterations=10, seed=0):
+             iterations=10, seed=0, max_points_per_iter=2 ** 19,
+             scan_chunk=8):
         """Joint refinement with per-group LRs (fuser.py:57-120).
 
         The base lr of the masked Adam is 1.0 and each group's rate is
         its mask multiplier, reproducing the reference's param groups.
+
+        ``max_points_per_iter``: random row cap per iteration batch (a
+        full-sequence sample is frame_batchsize x num_kfs x augmentation
+        rows, ~2.6M on a 300-frame run).  ``scan_chunk``: iterations per
+        scanned dispatch.  Both bound the TPU backend's remat working
+        set: at 30 x 2.6M-row iterations in one scan the compiler
+        demanded 40 GB of HBM (16 GB v5e) by materializing
+        per-iteration loop state across the whole scan.
         """
         self.dataset.unselect_keyframes()
         params = self.atlas.params
@@ -83,13 +93,36 @@ class Fuser:
         from miso_tpu.train.trainer import make_train_scan
 
         loss_fn = make_loss(fusion_loss, **loss_kwargs)
-        burst = make_train_scan(loss_fn, "adam")
+        # remat: the fusion loss is wide (per-submap interpolated
+        # features, S x N x F per level); without checkpointing the TPU
+        # backend stores every scan iteration's activations for the
+        # backward, which OOMs at production batch sizes.
+        burst = make_train_scan(loss_fn, "adam", remat=True)
         rng = np.random.default_rng(seed)
-        raw = [self.dataset.sample(rng) for _ in range(iterations)]
-        batches = {k: jnp.asarray(np.stack([np.asarray(b[k]) for b in raw]))
-                   for k in raw[0]}
-        params, opt_state, tls = burst(params, opt_state, batches,
-                                       jax.random.PRNGKey(seed), mask,
-                                       jnp.float32(1.0))
+
+        def capped_sample():
+            b = self.dataset.sample(rng)
+            n = len(next(iter(b.values())))
+            if max_points_per_iter and n > max_points_per_iter:
+                idx = rng.choice(n, max_points_per_iter, replace=False)
+                b = {k: np.asarray(v)[idx] for k, v in b.items()}
+            return b
+
+        key = jax.random.PRNGKey(seed)
+        tls = None
+        done = 0
+        while done < iterations:
+            k = min(scan_chunk, iterations - done)
+            # Power-of-two chunk lengths bound the executable set.
+            while k & (k - 1):
+                k &= k - 1
+            raw = [capped_sample() for _ in range(k)]
+            batches = {k2: jnp.asarray(np.stack([np.asarray(b[k2])
+                                                 for b in raw]))
+                       for k2 in raw[0]}
+            key, sub = jax.random.split(key)
+            params, opt_state, tls = burst(params, opt_state, batches, sub,
+                                           mask, jnp.float32(1.0))
+            done += k
         self.atlas.params = params
         return float(tls[-1])

@@ -82,7 +82,8 @@ def make_train_step(loss_fn: Callable, optimizer: str = "adam"):
 _SCAN_CACHE: Dict = {}
 
 
-def make_train_scan(loss_fn: Callable, optimizer: str = "adam"):
+def make_train_scan(loss_fn: Callable, optimizer: str = "adam",
+                    remat: bool = False):
     """Multi-step train burst: k optimization steps in ONE jitted scan.
 
     scan_fn(model, opt_state, batches, key, mask, lr) ->
@@ -92,8 +93,16 @@ def make_train_scan(loss_fn: Callable, optimizer: str = "adam"):
     scan carry.  One device dispatch per burst -- on dispatch-expensive
     transports this is the difference between ~k x RTT and 1 x RTT per
     mapping/tracking burst (SURVEY.md section 7 hard-part 5).
+
+    ``remat``: jax.checkpoint the loss so the backward recomputes the
+    forward instead of storing per-iteration activations.  The TPU
+    backend otherwise materializes scan-length x activation buffers for
+    wide losses -- the atlas fusion loss (per-submap features, S x N x F
+    per level per iteration) demanded 40 GB HBM at 30 x 2.6M points
+    (16 GB v5e).  Costs ~1 extra forward per step; leave off for narrow
+    per-submap losses (mapping/tracking).
     """
-    cache_key = (loss_fn, optimizer)
+    cache_key = (loss_fn, optimizer, remat)
     if cache_key in _SCAN_CACHE:
         return _SCAN_CACHE[cache_key]
 
@@ -105,6 +114,9 @@ def make_train_scan(loss_fn: Callable, optimizer: str = "adam"):
             def objective(m):
                 d = loss_fn(m, batch, sub)
                 return total_loss(d), d
+
+            if remat:
+                objective = jax.checkpoint(objective)
 
             (tl, _), grads = jax.value_and_grad(
                 objective, has_aux=True, allow_int=True)(model)
