@@ -39,46 +39,79 @@ from miso_tpu.ops import interp, se3
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _read_submap(feats, stabs, s, shapes):
+def fold_stacked(arr):
+    """Fold a stacked (S, g0, ..., g_{d-1}, F) grid array into the
+    atlas's rank-3 storage layout (S, g0, g1*...*F).  Row-major element
+    order is unchanged (a free reshape); see GridAtlasParams.pad_spatial
+    for why the storage is folded (34x TPU lane padding of the F=4
+    minor dim in XLA-materialized temps)."""
+    return arr.reshape(arr.shape[0], arr.shape[1], -1)
+
+
+def unfold_stacked(arr, pad_spatial, fdim):
+    """Inverse of :func:`fold_stacked`: (S, g0, g1*...*F) back to
+    (S, *pad_spatial, fdim)."""
+    return arr.reshape(arr.shape[0], *pad_spatial, fdim)
+
+
+def _read_submap(feats, stabs, s, shapes, pad_spatial, fdim):
     """One jitted dispatch extracting submap s's (possibly unpadded)
-    grids; eager per-level f[s] indexing costs one device round trip
-    per array, which adds up in the per-frame SLAM sync path."""
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def go(feats, stabs, shapes, s):
+    grids from the FOLDED stacked storage (slice slot -> unfold to
+    (g..., F) -> crop to logical shapes); eager per-level f[s] indexing
+    costs one device round trip per array, which adds up in the
+    per-frame SLAM sync path."""
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+    def go(feats, stabs, shapes, pad_spatial, fdim, s):
         outs_f, outs_s = [], []
         for level, (f, st) in enumerate(zip(feats, stabs)):
-            shp = f.shape[1:] if shapes is None else \
-                tuple(shapes[level]) + (f.shape[-1],)
+            pad = pad_spatial[level]
             start = (s,) + (0,) * (f.ndim - 1)
-            outs_f.append(jax.lax.dynamic_slice(f, start, (1,) + shp)[0])
-            st_shp = shp[:-1] + (st.shape[-1],)
-            outs_s.append(jax.lax.dynamic_slice(st, start, (1,) + st_shp)[0])
+            row = jax.lax.dynamic_slice(f, start, (1,) + f.shape[1:])[0]
+            g = row.reshape(pad + (fdim,))
+            srow = jax.lax.dynamic_slice(st, start, (1,) + st.shape[1:])[0]
+            sg = srow.reshape(pad + (1,))
+            if shapes is not None:
+                sl = tuple(slice(0, n) for n in shapes[level])
+                g = g[sl]
+                sg = sg[sl]
+            outs_f.append(g)
+            outs_s.append(sg)
         return tuple(outs_f), tuple(outs_s)
 
     shapes_key = None if shapes is None else tuple(tuple(int(v) for v in sh)
                                                    for sh in shapes)
-    return go(feats, stabs, shapes_key, jnp.asarray(s))
+    pad_key = tuple(tuple(int(v) for v in sh) for sh in pad_spatial)
+    return go(feats, stabs, shapes_key, pad_key, int(fdim), jnp.asarray(s))
 
 
 def _write_submap(feats, stabs, kf_rc, kf_tc, Rsk, tsk, s,
-                  g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk):
-    """One jitted dispatch writing a GridNet back into slot s (the
-    per-frame SLAM sync hot path; eager .at[].set issues one dispatch
-    and one full-array copy per array)."""
-    @jax.jit
+                  g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk,
+                  pad_spatial):
+    """One jitted dispatch writing a GridNet back into slot s of the
+    FOLDED stacked storage (pad grid to the padded spatial shape ->
+    fold -> slot write).  The per-frame SLAM sync hot path; eager
+    .at[].set issues one dispatch and one full-array copy per array."""
+    @functools.partial(jax.jit, static_argnums=(13,))
     def go(feats, stabs, kf_rc, kf_tc, Rsk, tsk, s,
-           g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk):
-        def upd(dst, src):
+           g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk, pad_spatial):
+        def upd(dst, src, pad):
+            widths = [(0, p - n) for p, n in zip(pad, src.shape[:-1])]
+            if any(w[1] for w in widths):
+                src = jnp.pad(src, widths + [(0, 0)])
+            folded = src.reshape(dst.shape[1:])
             start = (s,) + (0,) * (dst.ndim - 1)
-            return jax.lax.dynamic_update_slice(dst, src[None], start)
+            return jax.lax.dynamic_update_slice(dst, folded[None], start)
 
-        return (tuple(upd(f, g) for f, g in zip(feats, g_feats)),
-                tuple(upd(st, g) for st, g in zip(stabs, g_stabs)),
+        return (tuple(upd(f, g, p) for f, g, p
+                      in zip(feats, g_feats, pad_spatial)),
+                tuple(upd(st, g, p) for st, g, p
+                      in zip(stabs, g_stabs, pad_spatial)),
                 kf_rc.at[s].set(g_rc), kf_tc.at[s].set(g_tc),
                 Rsk.at[s].set(g_Rwk), tsk.at[s].set(g_twk))
 
+    pad_key = tuple(tuple(int(v) for v in sh) for sh in pad_spatial)
     return go(feats, stabs, kf_rc, kf_tc, Rsk, tsk, jnp.asarray(s),
-              g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk)
+              g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk, pad_key)
 
 
 @jax.jit
@@ -93,8 +126,8 @@ def _jit_add_kf(Rsk, tsk, kf_rc, kf_tc, kmap, kloc, s, kf_local, kf_global, R, t
 
 class GridAtlasParams(struct.PyTreeNode):
     # Stacked per-submap state (leading axis S).
-    features: Tuple[jnp.ndarray, ...]      # per level (S, g..., F) padded
-    stability: Tuple[jnp.ndarray, ...]     # per level (S, g..., 1)
+    features: Tuple[jnp.ndarray, ...]      # per level FOLDED (S, g0, g1*..*F)
+    stability: Tuple[jnp.ndarray, ...]     # per level FOLDED (S, g0, g1*..*1)
     decoder: Any                           # shared decoder params
     sub_rot_corr: jnp.ndarray              # (S, 3)
     sub_trans_corr: jnp.ndarray            # (S, 3)
@@ -114,6 +147,16 @@ class GridAtlasParams(struct.PyTreeNode):
     d: int = struct.field(pytree_node=False, default=3)
     fdim: int = struct.field(pytree_node=False, default=4)
     num_levels: int = struct.field(pytree_node=False, default=2)
+    # Per-level PADDED spatial shapes of the folded storage.  Feature /
+    # stability leaves are stored FOLDED -- (S, g0, g1*g2*F) -- because
+    # rank-5 (S, g0, g1, g2, F) puts F=4 on the TPU lane axis: any
+    # materialized tiled form (XLA's remat/compress pass makes them at
+    # fusion scale) pads 4 -> 128 lanes, 34x memory; a capacity-16 NCD
+    # atlas hit 4 x 5.9 GB copies of a 178 MB tensor.  Folded storage
+    # tiles at ~1.07x.  Interp kernels take (spatial, fdim) explicitly
+    # and only ever reshape(-1), so no relayout is introduced.
+    pad_spatial: Tuple[Tuple[int, ...], ...] = struct.field(
+        pytree_node=False, default=())
     cell_sizes: Tuple[float, ...] = struct.field(pytree_node=False, default=())
     pos_invariant: bool = struct.field(pytree_node=False, default=True)
     decoder_fixed: bool = struct.field(pytree_node=False, default=True)
@@ -175,15 +218,19 @@ class GridAtlasParams(struct.PyTreeNode):
 
         def per_submap(feats, bound, sizes, R, t, act):
             xs = se3.transform_points_from(x_world, R, t)
-            mask = se3.coords_in_bound(xs, bound) * act
-            f = _interp_levels_sized(feats, xs, bound, sizes, self.ignore_level)
-            return mask * f, mask
+            mask = se3.coords_in_bound(xs, bound)[:, 0] * act    # (N,)
+            fT = _interp_levels_sized_T(feats, xs, bound, sizes,
+                                        self.ignore_level,
+                                        self.pad_spatial, self.fdim)  # (F, N)
+            return mask[None, :] * fT, mask
 
-        feats, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
+        featsT, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
             self.features, self.bounds, self.sizes, R_ws, t_ws, self.active)
         sum_w = jnp.sum(masks, axis=0)
         sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
-        return jnp.sum(feats, axis=0) / sum_w
+        # One small final transpose (N, F_total); every (S, ...) sized
+        # intermediate above is (S, F, N) -- points on lanes.
+        return (jnp.sum(featsT, axis=0) / sum_w[None, :]).T
 
     def query_stability(self, x_world: jnp.ndarray) -> jnp.ndarray:
         """Masked average of per-submap stability (mu) fields -- the
@@ -193,15 +240,16 @@ class GridAtlasParams(struct.PyTreeNode):
 
         def per_submap(stabs, bound, sizes, R, t, act):
             xs = se3.transform_points_from(x_world, R, t)
-            mask = se3.coords_in_bound(xs, bound) * act
-            f = _interp_levels_sized(stabs, xs, bound, sizes, None)
-            return mask * f, mask
+            mask = se3.coords_in_bound(xs, bound)[:, 0] * act
+            fT = _interp_levels_sized_T(stabs, xs, bound, sizes, None,
+                                        self.pad_spatial, 1)
+            return mask[None, :] * fT, mask
 
-        mus, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
+        musT, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
             self.stability, self.bounds, self.sizes, R_ws, t_ws, self.active)
         sum_w = jnp.sum(masks, axis=0)
         sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
-        return jnp.sum(mus, axis=0) / sum_w
+        return (jnp.sum(musT, axis=0) / sum_w[None, :]).T
 
     def __call__(self, x_world: jnp.ndarray) -> jnp.ndarray:
         feats = self.query_feature(x_world)
@@ -222,12 +270,14 @@ class GridAtlasParams(struct.PyTreeNode):
         feats = tuple(f[s] for f in self.features)
         sizes = tuple(sz[s] for sz in self.sizes)
         return _interp_levels_sized(feats, x_submap, self.bounds[s], sizes,
-                                    self.ignore_level)
+                                    self.ignore_level, self.pad_spatial,
+                                    self.fdim)
 
     def query_stability_submap(self, s, x_submap: jnp.ndarray) -> jnp.ndarray:
         stabs = tuple(st[s] for st in self.stability)
         sizes = tuple(sz[s] for sz in self.sizes)
-        return _interp_levels_sized(stabs, x_submap, self.bounds[s], sizes, None)
+        return _interp_levels_sized(stabs, x_submap, self.bounds[s], sizes, None,
+                                    self.pad_spatial, 1)
 
     def forward_submap(self, s, x_submap: jnp.ndarray) -> jnp.ndarray:
         """Decode submap s's field at submap-frame coords."""
@@ -248,7 +298,7 @@ class GridAtlasParams(struct.PyTreeNode):
         for level in range(self.num_levels):
             f = interp.grid_interpolate_per_point(
                 self.features[level], sub_ids, x_submap, self.bounds,
-                self.sizes[level])
+                self.sizes[level], self.pad_spatial[level], self.fdim)
             f = f * (1.0 - self.ignore_level[level].astype(f.dtype))
             outs.append(f)
         return jnp.concatenate(outs, axis=-1)
@@ -258,7 +308,7 @@ class GridAtlasParams(struct.PyTreeNode):
         for level in range(self.num_levels):
             outs.append(interp.grid_interpolate_per_point(
                 self.stability[level], sub_ids, x_submap, self.bounds,
-                self.sizes[level]))
+                self.sizes[level], self.pad_spatial[level], 1))
         return jnp.concatenate(outs, axis=-1)
 
     def forward_per_point(self, sub_ids, x_submap: jnp.ndarray) -> jnp.ndarray:
@@ -279,7 +329,8 @@ class GridAtlasParams(struct.PyTreeNode):
         single submap means 'submap frame' (the reference's Tracker /
         Mapper operate on the current submap's GridNet the same way).
         """
-        feats, stabs = _read_submap(self.features, self.stability, s, shapes)
+        feats, stabs = _read_submap(self.features, self.stability, s,
+                                    shapes, self.pad_spatial, self.fdim)
         return GridNet(
             features=feats,
             stability=stabs,
@@ -309,7 +360,7 @@ class GridAtlasParams(struct.PyTreeNode):
             self.features, self.stability, self.kf_rot_corr,
             self.kf_trans_corr, self.Rsk, self.tsk, s,
             grid.features, grid.stability, grid.rot_corr, grid.trans_corr,
-            grid.Rwk, grid.twk)
+            grid.Rwk, grid.twk, self.pad_spatial)
         return self.replace(
             features=feats,
             stability=stabs,
@@ -321,14 +372,34 @@ class GridAtlasParams(struct.PyTreeNode):
         )
 
 
-def _interp_levels_sized(feats, x, bound, sizes, ignore_level):
+def _interp_levels_sized(feats, x, bound, sizes, ignore_level,
+                         spatial=None, fdim=None):
     outs = []
     for level, g in enumerate(feats):
-        f = interp.grid_interpolate(g, x, bound, size=sizes[level])
+        f = interp.grid_interpolate(
+            g, x, bound, size=sizes[level],
+            spatial=None if spatial is None else spatial[level], fdim=fdim)
         if ignore_level is not None:
             f = f * (1.0 - ignore_level[level])
         outs.append(f)
     return jnp.concatenate(outs, axis=-1)
+
+
+def _interp_levels_sized_T(feats, x, bound, sizes, ignore_level,
+                           spatial=None, fdim=None):
+    """Transposed (F_total, N) variant for the capacity-vmapped query
+    paths: all big intermediates keep points on the lane axis (see
+    ops.interp.grid_interpolate_T for the 32x lane-padding failure this
+    avoids at fusion/meshing scale)."""
+    outs = []
+    for level, g in enumerate(feats):
+        f = interp.grid_interpolate_T(
+            g, x, bound, size=sizes[level],
+            spatial=None if spatial is None else spatial[level], fdim=fdim)
+        if ignore_level is not None:
+            f = f * (1.0 - ignore_level[level])
+        outs.append(f)
+    return jnp.concatenate(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -420,7 +491,7 @@ class GridAtlas:
         if K > p.Rsk.shape[1]:
             return False
         for level in range(self.num_levels):
-            pad = p.features[level].shape[1:-1]
+            pad = p.pad_spatial[level]
             if any(shapes[level][k] > pad[k] for k in range(len(pad))):
                 return False
         return True
@@ -476,6 +547,13 @@ class GridAtlas:
             feat_dtype = np.dtype(ml_dtypes.bfloat16)
         else:
             feat_dtype = np.dtype(name)
+        # Storage is FOLDED per level -- (S, g0, g1*g2*F) -- see the
+        # pad_spatial field comment for the 34x lane-padding failure the
+        # rank-5 layout caused.  All host-side copies unfold via free
+        # numpy reshapes.
+        def fold(a):
+            return a.reshape(a.shape[0], a.shape[1], -1)
+
         features, stability, sizes = [], [], []
         for level in range(L):
             f = np.zeros((S, *pad_shapes[level], fdim), feat_dtype)
@@ -487,13 +565,16 @@ class GridAtlas:
             for s in range(S_live):
                 sz[s] = self._submap_shapes[s][level]
             if old is not None:
-                of = np.asarray(old.features[level]).astype(feat_dtype)
-                ost = np.asarray(old.stability[level]).astype(feat_dtype)
+                opad = old.pad_spatial[level]
+                of = np.asarray(old.features[level]).astype(feat_dtype) \
+                    .reshape(-1, *opad, fdim)
+                ost = np.asarray(old.stability[level]).astype(feat_dtype) \
+                    .reshape(-1, *opad, 1)
                 sl = (slice(0, of.shape[0]),) + tuple(slice(0, n) for n in of.shape[1:])
                 f[sl] = of
                 st[(slice(0, ost.shape[0]),) + tuple(slice(0, n) for n in ost.shape[1:])] = ost
-            features.append(jnp.asarray(f))
-            stability.append(jnp.asarray(st))
+            features.append(jnp.asarray(fold(f)))
+            stability.append(jnp.asarray(fold(st)))
             sizes.append(jnp.asarray(sz))
 
         def grow(old_arr, new_shape, fill=0.0):
@@ -545,6 +626,7 @@ class GridAtlas:
         self.params = GridAtlasParams(
             features=tuple(features),
             stability=tuple(stability),
+            pad_spatial=tuple(tuple(int(v) for v in sh) for sh in pad_shapes),
             decoder=decoder,
             sub_rot_corr=jnp.asarray(grow(old.sub_rot_corr if old else None, (S, 3))),
             sub_trans_corr=jnp.asarray(grow(old.sub_trans_corr if old else None, (S, 3))),

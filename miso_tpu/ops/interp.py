@@ -112,16 +112,25 @@ def corner_indices_and_weights(x: jnp.ndarray, bound: jnp.ndarray,
 
 
 def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
-                     size: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     size: Optional[jnp.ndarray] = None,
+                     spatial: Optional[Sequence[int]] = None,
+                     fdim: Optional[int] = None) -> jnp.ndarray:
     """Multilinear interpolation with zeros padding.
 
     Args:
       grid: (g0, ..., g_{d-1}, F) feature grid, axis k = world axis k.
+        May also be FOLDED storage -- any shape with the same row-major
+        element order (e.g. the atlas's (g0, g1*g2*F), which avoids the
+        34x lane padding of a 4-wide minor dim on TPU; see
+        models/grid_atlas.py) -- as long as ``spatial``/``fdim`` give
+        the true geometry.  Only ``reshape(-1, F)`` is ever taken, so
+        no relayout is introduced.
       x: (N, d) world-frame query coordinates.
       bound: (d, 2) [min, max] per axis.
       size: optional (d,) runtime *logical* grid size when ``grid`` is
         padded to a larger static shape (stacked submaps of differing
         bounds, see models/grid_atlas.py).  Defaults to the static shape.
+      spatial / fdim: explicit geometry when ``grid`` is folded.
 
     Returns:
       (N, F) interpolated features.  Twice (indeed arbitrarily)
@@ -133,9 +142,10 @@ def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
     corner_indices_and_weights for why the index math is columnar).
     """
     d = x.shape[-1]
-    spatial = grid.shape[:-1]
-    assert len(spatial) == d, f"grid rank {len(spatial)} != coord dim {d}"
-    F = grid.shape[-1]
+    if spatial is None:
+        spatial = grid.shape[:-1]
+        assert len(spatial) == d, f"grid rank {len(spatial)} != coord dim {d}"
+    F = int(fdim) if fdim is not None else grid.shape[-1]
     N = x.shape[0]
     lin, w = corner_indices_and_weights(x, bound, spatial, size)
     flat = grid.reshape(-1, F)
@@ -143,9 +153,44 @@ def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
     return jnp.einsum("cn,cnf->nf", w, cf)
 
 
+def grid_interpolate_T(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
+                       size: Optional[jnp.ndarray] = None,
+                       spatial: Optional[Sequence[int]] = None,
+                       fdim: Optional[int] = None) -> jnp.ndarray:
+    """:func:`grid_interpolate` emitting (F, N) -- the layout-safe core
+    for LARGE-intermediate consumers (the capacity-vmapped atlas query,
+    losses/fusion.py; meshing's observed queries).
+
+    Why a second formulation exists: the (C, N, F) corner-feature
+    intermediate of grid_interpolate puts the tiny feature dim (F=4) on
+    the TPU lane axis; whenever XLA *materializes* it (the remat pass
+    does at fusion/meshing scale), tiled layout pads 4 -> 128 lanes --
+    32x memory.  A capacity-16 atlas at 2^19 points hit a single 32 GB
+    allocation for a 1 GB tensor this way (f32[67108864,4]{T(8,128)}).
+    Here the flat element gather (index lin*F + f) emits corners
+    directly as (C*F, N) -- points on lanes, zero padding -- and the
+    weighted corner reduction stays in that layout.  Same math, same
+    grads, any order.
+    """
+    d = x.shape[-1]
+    if spatial is None:
+        spatial = grid.shape[:-1]
+        assert len(spatial) == d, f"grid rank {len(spatial)} != coord dim {d}"
+    F = int(fdim) if fdim is not None else grid.shape[-1]
+    N = x.shape[0]
+    lin, w = corner_indices_and_weights(x, bound, spatial, size)
+    flat = grid.reshape(-1)
+    idx = (lin[:, None, :] * F
+           + jnp.arange(F, dtype=jnp.int32)[None, :, None])      # (C, F, N)
+    cf = jnp.take(flat, idx.reshape(-1), axis=0).reshape(2 ** d, F, N)
+    return jnp.einsum("cn,cfn->fn", w, cf)
+
+
 def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
                                x: jnp.ndarray, bounds: jnp.ndarray,
-                               sizes: jnp.ndarray) -> jnp.ndarray:
+                               sizes: jnp.ndarray,
+                               spatial: Optional[Sequence[int]] = None,
+                               fdim: Optional[int] = None) -> jnp.ndarray:
     """Interpolate each point against ITS OWN submap's grid.
 
     The stacked-atlas analogue of :func:`grid_interpolate` for per-point
@@ -157,7 +202,9 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
     over submaps/keyframes instead).
 
     Args:
-      stacked: (S, g0..g_{d-1}, F) padded per-submap grids (one level).
+      stacked: (S, g0..g_{d-1}, F) padded per-submap grids (one level),
+        or FOLDED storage with the same element order (atlas layout,
+        see grid_interpolate) plus explicit ``spatial``/``fdim``.
       sub_ids: (N,) int32 submap index per point.
       x: (N, d) submap-frame coords (each in its own submap's frame).
       bounds: (S, d, 2) per-submap local bounds.
@@ -166,9 +213,10 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
     Returns (N, F); differentiable to any order like grid_interpolate.
     """
     d = x.shape[-1]
-    spatial = stacked.shape[1:-1]
-    assert len(spatial) == d
-    F = stacked.shape[-1]
+    if spatial is None:
+        spatial = stacked.shape[1:-1]
+        assert len(spatial) == d
+    F = int(fdim) if fdim is not None else stacked.shape[-1]
     N = x.shape[0]
     # Columnar per-axis index math (CLAUDE.md rule 3): every op below is
     # an (N,)-shaped column; per-point bound/size columns are 1-axis
@@ -204,9 +252,14 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
         w_all.append(w * ok.astype(w.dtype))
     lin = jnp.stack(lin_all)
     w = jnp.stack(w_all)
-    flat = stacked.reshape(-1, F)
-    cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
-    return jnp.einsum("cn,cnf->nf", w, cf)
+    # (C, F, N) element gather -- keeps N on the lane axis so a
+    # materialized corner-feature intermediate is never lane-padded
+    # (see grid_interpolate_T; (C, N, F) pads F=4 -> 128, 32x).
+    flat = stacked.reshape(-1)
+    idx = (lin[:, None, :] * F
+           + jnp.arange(F, dtype=jnp.int32)[None, :, None])
+    cf = jnp.take(flat, idx.reshape(-1), axis=0).reshape(2 ** d, F, N)
+    return jnp.einsum("cn,cfn->fn", w, cf).T
 
 
 def multi_level_interpolate(

@@ -13,6 +13,7 @@ import sys, os
 sys.path.insert(0, os.path.dirname(__file__))
 from test_atlas_align import build_atlas
 
+from miso_tpu.models.grid_atlas import fold_stacked, unfold_stacked
 from miso_tpu.align.baselines import (align_multiple_submaps_icp,
                                       pairwise_loss_mips, pairwise_loss_vfpp)
 from miso_tpu.ops import se3
@@ -106,15 +107,17 @@ def test_icp_pose_graph_reduces_error():
         return np.minimum(d1, d2)
 
     feats = []
-    for level in range(atlas.params.num_levels):
-        arr = np.asarray(atlas.params.features[level]).copy()
+    p = atlas.params
+    for level in range(p.num_levels):
+        arr = np.asarray(unfold_stacked(p.features[level],
+                                        p.pad_spatial[level], p.fdim)).copy()
         shape = atlas.submap_shapes(0)[level]
         for s in range(2):
             verts = np.asarray(_interp.vertex_positions(
                 shape, atlas.params.bounds[s]))
             world = verts + np.array([0.5 * s, 0, 0], np.float32)
             arr[s, ..., 0] = sphere_field(world).reshape(shape)
-        feats.append(jnp.asarray(arr))
+        feats.append(jnp.asarray(fold_stacked(arr)))
     atlas.params = atlas.params.replace(features=tuple(feats))
     dr = np.array([0, 0, 0.04], np.float32)
     dt = np.array([0.06, -0.04, 0.02], np.float32)

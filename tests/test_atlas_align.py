@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 from miso_tpu.align.miso import align_multiple_submaps_hierarchical
-from miso_tpu.models.grid_atlas import GridAtlas, grid_atlas_mask
+from miso_tpu.models.grid_atlas import (GridAtlas, fold_stacked,
+                                         grid_atlas_mask, unfold_stacked)
 from miso_tpu.ops import interp, se3
 
 CFG_MODEL = {
@@ -56,7 +57,7 @@ def build_atlas(n_submaps=2, offset=0.5):
             verts = np.asarray(interp.vertex_positions(shape, p.bounds[s]))
             world = verts + np.array([offset * s, 0, 0], np.float32)
             arrs.append(world_feature(world).reshape(*shape, 2))
-        feats.append(jnp.asarray(np.stack(arrs)))
+        feats.append(jnp.asarray(fold_stacked(np.stack(arrs))))
     atlas.params = p.replace(features=tuple(feats))
     return atlas
 

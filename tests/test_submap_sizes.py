@@ -158,10 +158,12 @@ def test_grid_interpolate_per_point_matches_per_submap(rng):
     sub_ids = jnp.asarray(rng.integers(0, 2, (N,)).astype(np.int32))
     for level in range(p.num_levels):
         got = interp.grid_interpolate_per_point(
-            p.features[level], sub_ids, x, p.bounds, p.sizes[level])
+            p.features[level], sub_ids, x, p.bounds, p.sizes[level],
+            spatial=p.pad_spatial[level], fdim=p.fdim)
         for s in range(2):
             want = interp.grid_interpolate(
-                p.features[level][s], x, p.bounds[s], size=p.sizes[level][s])
+                p.features[level][s], x, p.bounds[s], size=p.sizes[level][s],
+                spatial=p.pad_spatial[level], fdim=p.fdim)
             m = np.asarray(sub_ids) == s
             np.testing.assert_allclose(np.asarray(got)[m],
                                        np.asarray(want)[m],
