@@ -23,14 +23,28 @@ full train step; ~256 B/pt of corner traffic ~= 819 GB/s HBM), so the
 kernel's value is removing the elementwise/matmul HBM round trips
 between gather and decode, not replacing the gather.
 
-Measured A/B on the v5e (full ScanNet-scale mapping train step, 1e6
-points, GridNet decode_impl flag): XLA 0.22 ms/step (4.6 Gpts/s) vs
-Pallas 713 ms/step -- the (C, N, F) -> (C*F, N) transposes feeding the
-kernel dominate.  The XLA path therefore stays the default
-(decode_impl='xla'); this kernel is the reference-parity slot for the
-CUDA extension (structure + differentiability proven by
-tests/test_pallas_decode.py incl. second-order) and the starting point
-for environments where the fusion matters (bigger decoders / fdim).
+Measured A/B on the v5e (1e6 points, GridNet decode_impl flag,
+order-interleaved medians of 8 reps x 10 chained steps, 2026-08-17).
+Round 2's 3000x Pallas loss was the (C, N, F) row gather + minor-dim
+transpose feeding the kernel; the gather now emits cfT directly in
+(C*F, N) layout via one flat element gather (index lin*F + f), and the
+kernel is at parity:
+
+  config                      train step        query-only fwd
+  flagship (fdim4, 64x1)      XLA 0.236 ms  /  XLA 0.031 ms
+                              Pallas 0.241  /  Pallas 0.031  (1.02x/1.00x)
+  big (fdim16, 256x3)         XLA 0.273 ms  /  XLA 0.028 ms
+                              Pallas 0.277  /  Pallas 0.031  (1.01x/1.11x)
+
+Why parity is the ceiling: the flagship grids (~4.4 MB) fit in VMEM, so
+XLA already serves the corner gathers from VMEM and fuses the lerp+MLP
+epilogue -- the 1e6-pt forward streams 12 MB of coords + 4 MB out in
+31 us, ~2x the 819 GB/s HBM streaming minimum.  There is no HBM round
+trip between gather and decode left for a hand-fused kernel to remove,
+at small or large decoder widths.  The XLA path therefore stays the
+default (decode_impl='xla'); decode_impl='pallas' is a proven-equal
+alternative (value/grad/grad2 parity in tests/test_pallas_decode.py)
+kept as the reference-parity slot for the CUDA extension.
 
 Everything is computed TRANSPOSED -- points on the 128-wide lane axis,
 channels on sublanes -- so the tiny feature dims (F=4, hidden 64) don't
