@@ -57,6 +57,11 @@ def main():
     p.add_argument("--config", default="configs/lidar/ncd_quad.yaml")
     p.add_argument("--save_dir", default="./results/full_slam_ncd")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--scene", default="room", choices=["room", "quad"],
+                   help="synthetic scene: 'room' (8 m, orbit camera) or "
+                        "'quad' (40 m walled courtyard, circuit LiDAR -- "
+                        "the reference-scale ncd stand-in)")
+    p.add_argument("--laps", type=float, default=1.0)
     p.add_argument("--num_frames", type=int, default=30)
     p.add_argument("--submap_size", type=int, default=None,
                    help="KFs per submap (synthetic); <num_frames spawns "
@@ -67,9 +72,9 @@ def main():
                    help="preallocated submap slots (system.submap_capacity)")
     p.add_argument("--no_profile", action="store_true",
                    help="disable the per-frame stage profiler")
-    p.add_argument("--decoder_cache", default="/tmp/ncd_synth_decoder.npz",
+    p.add_argument("--decoder_cache", default=None,
                    help="reuse the synthetic pretrained decoder across runs"
-                        " ('' disables)")
+                        " ('' disables; default /tmp/ncd_synth_decoder_<scene>.npz)")
     args = p.parse_args()
 
     from miso_tpu.config import load_config
@@ -87,43 +92,76 @@ def main():
         cfg["system"]["submap_capacity"] = args.capacity
 
     if args.synthetic:
-        from miso_tpu.datasets.sequence import SdfSequence, orbit_trajectory
-        from miso_tpu.datasets.shapes import room_scene
+        from miso_tpu.datasets.sequence import (SdfSequence,
+                                                circuit_trajectory,
+                                                orbit_trajectory)
+        from miso_tpu.datasets.shapes import quad_scene, room_scene
         from miso_tpu.native import TriangleMesh
 
-        verts, tris = room_scene(8.0, seed=0)
-        mesh_gt = TriangleMesh(verts, tris)
-        R, t = orbit_trajectory([0, 0, 0], 2.5, 1.6, args.num_frames,
-                                look_at=[0, 0, -0.5])
+        if args.scene == "quad":
+            # Reference-scale stand-in for the Newer College quad
+            # (62x73x23 m, 1991 frames, ncd_quad.yaml:2-3): a 40 m
+            # walled courtyard toured by a ground robot with a spinning
+            # LiDAR.  Walls + floor + objects constrain all 6 DoF of
+            # the frame-to-model LM solve (a wall-less scene leaves
+            # x/y/yaw on the flat floor unconstrained; a narrow pinhole
+            # view rotating fast leaves the unexplored leading edge
+            # unconstrained -- both measured to diverge).
+            verts, tris = quad_scene(40.0, seed=0)
+            mesh_gt = TriangleMesh(verts, tris)
+            R, t = circuit_trajectory(14.0, 1.5, args.num_frames,
+                                      laps=args.laps, wobble=0.3)
+            scan_kw = dict(scan_pattern="lidar", width=192, height=64)
+            # Voxel-equalized scans, reference voxel sizes
+            # (full_slam_newer_college.py:77-92).
+            track_kw = dict(voxel_size=0.6)
+            map_kw = dict(voxel_size=0.1)
+            # Submap bound: 40x40x12 m local box (the reference uses
+            # 90x90x20 m over its 62x73 m site, ncd_quad.yaml:68 --
+            # the same heavy-overlap regime scaled to the 40 m quad).
+            bound = [[-20.0, 20.0], [-20.0, 20.0], [-3.0, 9.0]]
+        else:
+            verts, tris = room_scene(8.0, seed=0)
+            mesh_gt = TriangleMesh(verts, tris)
+            R, t = orbit_trajectory([0, 0, 0], 2.5, 1.6, args.num_frames,
+                                    look_at=[0, 0, -0.5])
+            scan_kw = {}
+            track_kw = {}
+            map_kw = {}
+            # Cube bound: the submap is anchored at the first (noisy)
+            # pose, so the bound must contain the whole room seen from
+            # there (room half-diagonal ~5.7 m + orbit radius + margin).
+            bound = [[-9.0, 9.0], [-9.0, 9.0], [-9.0, 9.0]]
         # Sparse surface-only tracking dataset; dense augmented mapping
         # dataset (full_slam_newer_college.py:77-92).
         ds_track = SdfSequence(mesh_gt, R, t, frame_samples=2**12,
                                frame_batchsize=2048, trunc_dist=0.5,
                                surface_only=True,
-                               odom_std_rad=0.002, odom_std_meter=0.01)
+                               odom_std_rad=0.002, odom_std_meter=0.01,
+                               **scan_kw, **track_kw)
         ds_map = SdfSequence(mesh_gt, R, t, frame_samples=2**12,
                              frame_batchsize=2048, trunc_dist=0.5,
                              near_surface_n=2, near_surface_std=0.25,
                              free_space_n=1, behind_surface_n=1,
-                             odom_std_rad=0.002, odom_std_meter=0.01)
-        # Cube bound: the submap is anchored at the first (noisy) pose
-        # with arbitrary orientation, so the bound must contain the
-        # whole rotated room seen from there (room half-diagonal ~5.7 m
-        # + orbit radius + margin).
-        bound = [[-9.0, 9.0], [-9.0, 9.0], [-9.0, 9.0]]
+                             odom_std_rad=0.002, odom_std_meter=0.01,
+                             **scan_kw, **map_kw)
         cfg["system"].update({"submap_size": args.submap_size or 100,
-                              "submap_local_bound": bound})
+                              "submap_local_bound": bound,
+                              "submap_axis_aligned": True})
         cfg["model"]["grid"].update({"base_cell_size": 1.0,
                                      "per_level_scale": 5.0, "bound": bound})
         cfg["model"]["decoder"].update({"fix": False, "pretrained_model": None,
                                         "hidden_dim": 32})
-        cfg["model"]["pose"]["num_poses"] = 100
+        cfg["model"]["pose"]["num_poses"] = max(args.submap_size or 100, 100)
         cfg["mapping"].update({"trunc_dist": 0.5, "finite_diff_eps": 0.1,
                                "eik_trunc_dist": 0.5, "weight_fs": 0.3,
                                "learning_rate": 3e-3, "loss_type": "L2",
                                "iters_per_frame": 30,
                                "level_iters_per_frame": 10,
-                               "init_iterations": 100})
+                               "init_iterations": 100,
+                               # zero-weight rows outside the submap
+                               # bound (eroded one coarse cell)
+                               "mask_bound": 1.0})
         cfg["tracking"].update({"solver": "lm", "loss_type": "GM",
                                 "gm_scale_sdf": 0.2, "lm_max_iter": 16,
                                 "trunc_dist": 0.5,
@@ -153,6 +191,8 @@ def main():
 
         t0 = time.time()
         cache = args.decoder_cache
+        if cache is None:
+            cache = f"/tmp/ncd_synth_decoder_{args.scene}.npz"
         like = None
         if cache and os.path.exists(cache):
             c2 = {k: (dict(v) if isinstance(v, dict) else v)
@@ -201,6 +241,9 @@ def main():
 
     ate_prefusion = None
     fusion_time = None
+    ate_postalign = None
+    align_time = None
+    fuse_time = None
     if atlas.num_submaps > 1:
         # Global consistency pass over the submap collection
         # (reference fuser.py:29-120).
@@ -217,8 +260,15 @@ def main():
         t_fuse = time.time()
         fuser = Fuser(atlas, ds_map, cfg)
         fuser.align()
+        align_time = time.time() - t_fuse
+        ate_postalign = _ate()[0]
+        print(f"align {align_time:.1f}s -> ATE "
+              f"{ate_postalign['ate_rmse']*100:.2f} cm / "
+              f"{ate_postalign['rot_rmse_deg']:.2f} deg", flush=True)
+        t1 = time.time()
         fuser.fuse(feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
                    iterations=30)
+        fuse_time = time.time() - t1
         fusion_time = time.time() - t_fuse
 
     # Trajectory + mesh artifacts (full_slam_newer_college.py:101-114).
@@ -240,8 +290,11 @@ def main():
           f"({1e3 * slam_time / max(n_frames, 1):.0f} ms/frame incl. compile)")
     with open(os.path.join(args.save_dir, "results.json"), "w") as f:
         json.dump({"ate": ate, "ate_prefusion": ate_prefusion,
+                   "ate_postalign": ate_postalign,
                    "slam_time_sec": slam_time,
                    "fusion_time_sec": fusion_time,
+                   "align_time_sec": align_time,
+                   "fuse_time_sec": fuse_time,
                    "num_frames": n_frames,
                    "num_submaps": atlas.num_submaps,
                    "frame_profile": profile}, f, indent=2)
@@ -250,7 +303,15 @@ def main():
     save_mesh(atlas.params, atlas.global_bound(),
               os.path.join(args.save_dir, "mesh_final.ply"),
               resolution=args.mesh_resolution, feature_dtype="bfloat16")
-    print(f"mesh {args.mesh_resolution}^3 {time.time() - t0:.1f}s", flush=True)
+    mesh_time = time.time() - t0
+    print(f"mesh {args.mesh_resolution}^3 {mesh_time:.1f}s", flush=True)
+    res_path = os.path.join(args.save_dir, "results.json")
+    with open(res_path) as f:
+        res = json.load(f)
+    res["mesh_resolution"] = args.mesh_resolution
+    res["mesh_time_sec"] = mesh_time
+    with open(res_path, "w") as f:
+        json.dump(res, f, indent=2)
 
 
 if __name__ == "__main__":

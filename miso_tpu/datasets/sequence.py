@@ -53,6 +53,62 @@ def orbit_trajectory(center, radius, height, num_frames, look_at=None,
     return np.asarray(Rs, np.float32), np.asarray(ts, np.float32)
 
 
+def circuit_trajectory(half_extent, height, num_frames, laps=1.0,
+                       corner_frac=0.35, seed=None, wobble=0.0):
+    """Ground-robot tour of a square courtyard: a rounded-rectangle
+    circuit of half-width ``half_extent``, sensor at ``height``, heading
+    along the path (x forward, z up -- the LiDAR convention of
+    :meth:`SdfSequence._lidar_rays`).  ``laps`` > 1 revisits the start
+    (loop closure); ``wobble`` adds smooth lateral sway.
+
+    Returns (N, 3, 3) rotations + (N, 3) positions.
+    """
+    a = half_extent * (1.0 - corner_frac)   # straight half-length
+    r = half_extent * corner_frac           # corner radius
+    straight, arc = 2 * a, (np.pi / 2) * r
+    per = 4 * (straight + arc)
+    s_all = (np.arange(num_frames) / num_frames) * laps * per
+
+    def point(s):
+        s = s % per
+        segs = [straight, arc] * 4
+        base = 0.0
+        for i, L in enumerate(segs):
+            if s <= base + L or i == 7:
+                u = s - base
+                side, kind = divmod(i, 2)
+                ang0 = side * np.pi / 2
+                c, sn = np.cos(ang0), np.sin(ang0)
+                if kind == 0:  # straight along +y (rotated per side)
+                    p = np.array([half_extent, -a + u])
+                    d = np.array([0.0, 1.0])
+                else:  # quarter arc around the corner
+                    th = u / r
+                    p = np.array([a + r * np.cos(th), a + r * np.sin(th)])
+                    d = np.array([-np.sin(th), np.cos(th)])
+                rot = np.array([[c, -sn], [sn, c]])
+                return rot @ p, rot @ d
+            base += L
+        raise AssertionError
+
+    rng = np.random.default_rng(0 if seed is None else seed)
+    ph = rng.uniform(0, 2 * np.pi, 2)
+    Rs, ts = [], []
+    for k, s in enumerate(s_all):
+        p2, d2 = point(s)
+        if wobble:
+            p2 = p2 + wobble * np.array([np.sin(0.13 * k + ph[0]),
+                                         np.cos(0.17 * k + ph[1])])
+        fwd = np.array([d2[0], d2[1], 0.0])
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, 0.0, 1.0])
+        left = np.cross(up, fwd)
+        R = np.stack([fwd, left, up], axis=1)  # x fwd, y left, z up
+        Rs.append(R)
+        ts.append([p2[0], p2[1], height])
+    return np.asarray(Rs, np.float32), np.asarray(ts, np.float32)
+
+
 class SdfSequence(SubmapDataset):
     """Simulated posed depth sequence over a mesh."""
 
@@ -62,7 +118,8 @@ class SdfSequence(SubmapDataset):
                  behind_surface_n=0, trunc_dist=0.15,
                  odom_std_rad=0.0, odom_std_meter=0.0,
                  pose_std_rad=0.0, pose_std_meter=0.0,
-                 width=128, height=96, seed=0, surface_only=False):
+                 width=128, height=96, seed=0, surface_only=False,
+                 scan_pattern="pinhole", max_range=None, voxel_size=None):
         self.mesh = as_mesh(mesh)
         self.R_gt = np.asarray(traj_R, np.float32)
         self.t_gt = np.asarray(traj_t, np.float32)
@@ -75,6 +132,9 @@ class SdfSequence(SubmapDataset):
         self.behind_surface_n = 0 if surface_only else behind_surface_n
         self.width = width
         self.height = height
+        self.scan_pattern = scan_pattern
+        self.max_range = max_range
+        self.voxel_size = voxel_size
         self._rng = np.random.default_rng(seed)
         self._selected: Optional[List[int]] = None
         self._simulate_frames()
@@ -90,8 +150,26 @@ class SdfSequence(SubmapDataset):
         ii, jj = np.meshgrid(i, j, indexing="xy")
         return np.stack([ii, -jj, -np.ones_like(ii)], axis=-1).reshape(-1, 3)
 
+    def _lidar_rays(self):
+        """Spinning-LiDAR scan: full 360 deg azimuth x a vertical fan
+        (Ouster-style, the Newer College sensor behind the reference's
+        PosedSdf3DLidar).  width = azimuth steps, height = elevation
+        rings.  Omnidirectional frames are what make frame-to-model LM
+        tracking well-conditioned: a narrow pinhole view rotating fast
+        leaves the pose unconstrained along the unexplored leading edge
+        (measured: LM diverges ~1.3 deg/frame on fresh submaps with
+        pinhole frames; stable with scans)."""
+        W, H = self.width, self.height
+        az = (np.arange(W) + 0.5) / W * 2 * np.pi
+        el = np.radians(np.linspace(-45.0, 30.0, H))
+        aa, ee = np.meshgrid(az, el, indexing="xy")
+        ce = np.cos(ee)
+        return np.stack([ce * np.cos(aa), ce * np.sin(aa), np.sin(ee)],
+                        axis=-1).reshape(-1, 3)
+
     def _simulate_frames(self):
-        dirs_cam = self._pinhole_rays()
+        dirs_cam = self._lidar_rays() if self.scan_pattern == "lidar" \
+            else self._pinhole_rays()
         rng = self._rng
         self.frames = []
         for f in range(len(self.R_gt)):
@@ -101,7 +179,20 @@ class SdfSequence(SubmapDataset):
             origins = np.broadcast_to(twc, dirs.shape).astype(np.float32)
             t_hit, _ = self.mesh.raycast(origins, dirs)
             hit = t_hit > 0
+            if self.max_range is not None:
+                # Range crop (reference sdf_3d_lidar.py:126-133).
+                hit = np.logical_and(hit, t_hit <= self.max_range)
             pts = origins[hit] + dirs[hit] * t_hit[hit][:, None]
+            if self.voxel_size is not None and len(pts):
+                # Voxel downsample (one point per cell): equalizes the
+                # scan's spatial coverage -- raw ray samples pile up
+                # ~1/d^2 on nearby ground and starve the distant walls
+                # that constrain yaw/x/y in frame-to-model tracking
+                # (reference voxel 0.6 m tracking / 0.08 m mapping,
+                # full_slam_newer_college.py:77-92).
+                key = np.floor(pts / self.voxel_size).astype(np.int64)
+                _, idx = np.unique(key, axis=0, return_index=True)
+                pts = pts[np.sort(idx)]
             n_hit = len(pts)
             assert n_hit > 0, f"frame {f}: no surface hits"
             keep = min(self.frame_samples, n_hit)

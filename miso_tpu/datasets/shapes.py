@@ -100,6 +100,39 @@ def merge_meshes(*meshes):
     return np.concatenate(vs), np.concatenate(fs)
 
 
+def quad_scene(extent=40.0, wall_height=6.0, seed=0, n_objects=24):
+    """An NCD-quad-like courtyard: ground slab, perimeter walls, and
+    scattered pillars/boxes/spheres (stand-in for the reference's
+    flagship 62x73x23 m Newer College workload, ncd_quad.yaml:2-3).
+
+    Returns (verts, tris) of a watertight composite mesh spanning
+    roughly [-extent/2, extent/2]^2 x [-1, wall_height].
+    """
+    rng = np.random.default_rng(seed)
+    h = extent / 2.0
+    parts = [box(size=(extent + 2, extent + 2, 0.4), center=(0, 0, -0.2))]
+    wt = 0.6  # wall thickness
+    for cx, cy, sx, sy in [(0, h, extent + 2, wt), (0, -h, extent + 2, wt),
+                           (h, 0, wt, extent + 2), (-h, 0, wt, extent + 2)]:
+        parts.append(box(size=(sx, sy, wall_height),
+                         center=(cx, cy, wall_height / 2)))
+    # Scattered objects inside (clear of the circuit path near walls).
+    for _ in range(n_objects):
+        x, y = rng.uniform(-h + 6.0, h - 6.0, 2)
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            s = rng.uniform(0.6, 2.4)
+            parts.append(box(size=(s, s, rng.uniform(1.0, 4.0)),
+                             center=(x, y, rng.uniform(0.5, 1.5))))
+        elif kind == 1:
+            r = rng.uniform(0.5, 1.4)
+            parts.append(icosphere(2, r, center=(x, y, r * 0.8)))
+        else:
+            parts.append(torus(rng.uniform(0.8, 1.6), rng.uniform(0.2, 0.5),
+                               center=(x, y, rng.uniform(0.5, 1.5))))
+    return merge_meshes(*parts)
+
+
 def room_scene(size=4.0, seed=0):
     """A simple 'room': floor slab + a few disjoint objects.
 

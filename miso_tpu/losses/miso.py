@@ -44,17 +44,27 @@ def mapping_loss(model, batch, key, loss_type="L1", weight_sdf=1.0,
                  weight_eik=0.5, weight_fs=0.0, trunc_dist=0.0,
                  finite_diff_eps=1e-2, grad_method="autograd",
                  eik_trunc_dist=0.1, use_stability=False, weight_clip=0.0,
-                 pose_lock_rows=None):
+                 mask_bound=None, pose_lock_rows=None):
     """MisoLossMapping (loss.py:703-853): weighted SDF regression +
     eikonal (|gt| < eik_trunc filtered) + free-space bound + optional
     CLIP-feature regression head (loss.py:815-844: decoder output
     channel 0 is SDF, channels 1.. regress CLIP embeddings at the
-    batch's clip_* sample set)."""
+    batch's clip_* sample set).
+
+    mask_bound: if set (meters), rows outside the model bound eroded by
+    this margin are zero-weighted -- for bounded submaps over larger
+    scenes, where out-of-bound rows would otherwise train the zero-pad
+    boundary ramp to fit far geometry (no reference counterpart: its
+    flagship bounds contain every scan)."""
     gt_sdf = batch["sdf"]
     valid = batch["sdf_valid"]
     sign = batch["sdf_signs"]
     weights = batch.get("weights")
     coords_world = _coords_to_world(model, batch, pose_lock_rows)
+    if mask_bound is not None:
+        m = jnp.asarray([mask_bound, -mask_bound], model.bound.dtype)
+        valid = valid * se3.coords_in_bound(coords_world, model.bound + m)
+        sign = sign * se3.coords_in_bound(coords_world, model.bound + m)
     model_out = model(coords_world)
     pred = model_out[:, :1]
     out = {}

@@ -37,6 +37,7 @@ class Mapper:
             eik_trunc_dist=c.get("eik_trunc_dist", 0.1),
             use_stability=c.get("use_stability", False),
             weight_clip=c.get("weight_clip", 0.0),
+            mask_bound=c.get("mask_bound", None),
         )
 
     def mapping(self, mapping_kfs: List[int], iterations=10, level_iterations=5):

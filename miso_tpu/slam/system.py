@@ -139,9 +139,20 @@ class System:
         T_sd = np.asarray(self.dataset_track.get_odometry_at_pose(src))
         T_wd = T_ws @ T_sd
         local_bound = np.asarray(self.cfg["system"]["submap_local_bound"], np.float32)
-        self.model.add_submap(local_bound, T_wd[:3, :3], T_wd[:3, 3],
-                              num_poses=self.cfg["system"]["submap_size"])
-        kf_id = self.model.add_kf()  # identity in new submap
+        if self.cfg["system"].get("submap_axis_aligned", False):
+            # Anchor the submap frame axis-aligned with the world (the
+            # anchor KF then carries its rotation as an in-submap pose).
+            # Keeps scene planes aligned with the grid axes when world
+            # gravity-alignment is meaningful (LiDAR rigs, ncd_quad).
+            self.model.add_submap(local_bound, np.eye(3, dtype=np.float32),
+                                  T_wd[:3, 3],
+                                  num_poses=self.cfg["system"]["submap_size"])
+            kf_id = self.model.add_kf(T_wd[:3, :3],
+                                      np.zeros(3, dtype=np.float32))
+        else:
+            self.model.add_submap(local_bound, T_wd[:3, :3], T_wd[:3, 3],
+                                  num_poses=self.cfg["system"]["submap_size"])
+            kf_id = self.model.add_kf()  # identity in new submap
         assert kf_id == dst
         self._fresh_tracker_mapper()
         slots = self.max_replay_frames + 1

@@ -43,6 +43,17 @@ def _lm_core(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
     mask_bnd = se3.coords_in_bound(coords_world, grid.bound)
     denom = jnp.maximum(jnp.sum(w_rows), 1.0)
     fov_overlap = jnp.sum(mask_bnd * w_rows) / denom
+    # Zero-weight points outside the bound eroded by one coarse cell:
+    # outside, features zero-pad, so the SDF is a constant with a fake
+    # gradient ramp in the one-cell boundary shell -- at partial FOV
+    # overlap (submap transitions, bounded submaps over large scenes)
+    # those rows pull the solve toward the bound faces.  (Deviation
+    # from the reference, which only uses the bound for fov_overlap,
+    # tracker.py:175-176 -- its flagship bounds always contain the
+    # whole scan.)
+    margin = grid.cell_sizes[0] if grid.cell_sizes else 0.0
+    bound_eroded = grid.bound + jnp.asarray([margin, -margin], grid.bound.dtype)
+    w_rows = w_rows * se3.coords_in_bound(coords_world, bound_eroded)
     # SDF spatial gradient (autodiff; tracker.py:177-179).
     grad_world = jax.lax.stop_gradient(gradient3d(coords_world, grid, "autograd"))
     # Jacobian J = [(hat(R x) . grad) R , grad]  (N, 6)  (tracker.py:181-185).

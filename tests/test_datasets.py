@@ -153,3 +153,42 @@ def test_clip_supervision_pipeline(rng):
         m, jb, jax.random.PRNGKey(0), weight_eik=0.0, weight_fs=0.1,
         trunc_dist=0.2, weight_clip=0.1).values()), allow_int=True)(model)
     assert float(jnp.abs(g.features[0]).max()) > 0
+
+
+@pytest.mark.fast
+def test_lidar_scan_and_circuit_trajectory():
+    """New quad-scale synthetic pipeline: circuit trajectory geometry,
+    360-degree LiDAR scan labels, range crop (sdf_3d_lidar.py:126-133)."""
+    from miso_tpu.datasets.sequence import SdfSequence, circuit_trajectory
+    from miso_tpu.datasets.shapes import quad_scene
+
+    R, t = circuit_trajectory(6.0, 1.2, 16, laps=1.0, wobble=0.1)
+    assert R.shape == (16, 3, 3) and t.shape == (16, 3)
+    # Proper rotations, heading along the path, z up.
+    for k in (0, 5, 11):
+        assert np.linalg.det(R[k]) == pytest.approx(1.0, abs=1e-5)
+        np.testing.assert_allclose(R[k].T @ R[k], np.eye(3), atol=1e-5)
+        assert R[k][2, 2] == pytest.approx(1.0, abs=1e-5)  # z axis up
+    # Closed circuit: consecutive steps have near-constant arclength.
+    d = np.linalg.norm(np.diff(t, axis=0), axis=1)
+    assert d.max() / d.min() < 1.3
+
+    verts, tris = quad_scene(16.0, seed=0, n_objects=4)
+    mesh = TriangleMesh(verts, tris)
+    ds = SdfSequence(mesh, R, t, frame_samples=256, frame_batchsize=64,
+                     trunc_dist=0.3, surface_only=True,
+                     scan_pattern="lidar", width=48, height=12,
+                     max_range=12.0)
+    rng = np.random.default_rng(0)
+    ds.select_keyframes([0, 7])
+    b = ds.sample(rng)
+    assert b["coords_frame"].shape == (128, 3)
+    # Surface-only: zero labels, all valid.
+    np.testing.assert_allclose(b["sdf"], 0.0)
+    np.testing.assert_allclose(b["sdf_valid"], 1.0)
+    # Range crop: no sample farther than max_range from the sensor.
+    assert np.linalg.norm(b["coords_frame"], axis=1).max() <= 12.0 + 1e-4
+    # 360-degree azimuth coverage: frame-frame points on all sides.
+    az = np.degrees(np.arctan2(b["coords_frame"][:, 1], b["coords_frame"][:, 0]))
+    hist, _ = np.histogram(az, bins=8, range=(-180, 180))
+    assert (hist > 0).all(), f"azimuth gaps: {hist}"

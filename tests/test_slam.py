@@ -272,3 +272,32 @@ def test_system_multi_submap_profiled(seq, pretrained_decoder_path):
                      for k in range(seq.num_kfs)])
     ate = np.sqrt(((t_est - t_gt) ** 2).sum(-1).mean())
     assert ate < 0.4, f"ATE {ate:.3f} m"
+
+
+def test_system_axis_aligned_submap_anchors(seq, pretrained_decoder_path):
+    """system.submap_axis_aligned: new submaps anchor with identity world
+    rotation and the anchor KF carries its rotation in-submap -- composed
+    world KF poses remain consistent."""
+    model_cfg = dict(MODEL_CFG)
+    model_cfg["decoder"] = dict(MODEL_CFG["decoder"], fix=True,
+                                pretrained_model=pretrained_decoder_path)
+    cfg = {k: (dict(v) if isinstance(v, dict) else v) for k, v in CFG.items()}
+    cfg["system"] = dict(CFG["system"], submap_size=4,
+                         submap_axis_aligned=True)
+    atlas = GridAtlas(model_cfg, max_kfs_per_submap=4, capacity=3)
+    R0, t0 = seq.true_kf_pose_in_world(0)
+    system = System(atlas, seq, seq, cfg, R_world_origin=R0, t_world_origin=t0)
+    system.run(max_frames=9)
+    assert atlas.num_submaps == 3
+    Rws = np.asarray(atlas.params.Rws)
+    for s in (1, 2):  # spawned submaps are axis-aligned in world
+        np.testing.assert_allclose(Rws[s], np.eye(3), atol=1e-5)
+    # Composed anchor-KF world rotation is NOT identity (carried in-submap).
+    Rk, tk = atlas.params.updated_kf_poses_in_world()
+    a1 = atlas.anchor_kf_for_submap(1)
+    assert np.abs(np.asarray(Rk)[a1] - np.eye(3)).max() > 0.05
+    # World KF positions stay near GT (tracking unaffected by the choice).
+    t_gt = np.stack([seq.true_kf_pose_in_world(k)[1].reshape(3)
+                     for k in range(9)])
+    err = np.linalg.norm(np.asarray(tk)[:9] - t_gt, axis=1)
+    assert err.max() < 0.5, err
