@@ -107,7 +107,7 @@ def main():
             # x/y/yaw on the flat floor unconstrained; a narrow pinhole
             # view rotating fast leaves the unexplored leading edge
             # unconstrained -- both measured to diverge).
-            verts, tris = quad_scene(40.0, seed=0)
+            verts, tris = quad_scene(40.0, seed=0, path_half_extent=14.0)
             mesh_gt = TriangleMesh(verts, tris)
             R, t = circuit_trajectory(14.0, 1.5, args.num_frames,
                                       laps=args.laps, wobble=0.3)
@@ -116,10 +116,19 @@ def main():
             # (full_slam_newer_college.py:77-92).
             track_kw = dict(voxel_size=0.6)
             map_kw = dict(voxel_size=0.1)
-            # Submap bound: 40x40x12 m local box (the reference uses
-            # 90x90x20 m over its 62x73 m site, ncd_quad.yaml:68 --
-            # the same heavy-overlap regime scaled to the 40 m quad).
-            bound = [[-20.0, 20.0], [-20.0, 20.0], [-3.0, 9.0]]
+            # Site box in the SYSTEM world frame (gauge: identity
+            # rotation at the first pose): every submap's bound covers
+            # the whole site, the reference's heavy-overlap regime (its
+            # 90x90x20 m bound over the 62x73 m NCD site,
+            # ncd_quad.yaml:68).  Anchor-centered 40 m bounds were
+            # measured to collapse tracking fov to ~0.1 on the far side
+            # of the circuit and drift ~2 cm/frame.
+            _t0 = t[0] + 0.0
+            v_sys = (verts - _t0) @ R[0] + _t0
+            world_bound = np.stack([v_sys.min(0) - 1.0,
+                                    v_sys.max(0) + 1.0], axis=1)
+            bound = (world_bound
+                     - world_bound.mean(axis=1, keepdims=True)).tolist()
         else:
             verts, tris = room_scene(8.0, seed=0)
             mesh_gt = TriangleMesh(verts, tris)
@@ -148,6 +157,8 @@ def main():
         cfg["system"].update({"submap_size": args.submap_size or 100,
                               "submap_local_bound": bound,
                               "submap_axis_aligned": True})
+        if args.scene == "quad":
+            cfg["system"]["submap_world_bound"] = world_bound.tolist()
         cfg["model"]["grid"].update({"base_cell_size": 1.0,
                                      "per_level_scale": 5.0, "bound": bound})
         cfg["model"]["decoder"].update({"fix": False, "pretrained_model": None,

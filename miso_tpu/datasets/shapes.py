@@ -100,10 +100,32 @@ def merge_meshes(*meshes):
     return np.concatenate(vs), np.concatenate(fs)
 
 
-def quad_scene(extent=40.0, wall_height=6.0, seed=0, n_objects=24):
+def _rounded_rect_ring_distance(p, half, corner_frac):
+    """2D distance from points (N, 2) to the rounded-rectangle circuit of
+    :func:`miso_tpu.datasets.sequence.circuit_trajectory` (straight
+    half-length ``half*(1-corner_frac)``, corner radius
+    ``half*corner_frac``)."""
+    a = half * (1.0 - corner_frac)
+    r = half * corner_frac
+    q = np.abs(np.asarray(p, np.float64)) - a
+    qp = np.maximum(q, 0.0)
+    sdf_rbox = (np.sqrt((qp**2).sum(-1))
+                + np.minimum(np.maximum(q[..., 0], q[..., 1]), 0.0) - r)
+    return np.abs(sdf_rbox)
+
+
+def quad_scene(extent=40.0, wall_height=6.0, seed=0, n_objects=24,
+               path_half_extent=None, path_corner_frac=0.35,
+               path_clearance=3.0):
     """An NCD-quad-like courtyard: ground slab, perimeter walls, and
     scattered pillars/boxes/spheres (stand-in for the reference's
     flagship 62x73x23 m Newer College workload, ncd_quad.yaml:2-3).
+
+    path_half_extent: if set, objects are rejection-sampled to stay
+    ``path_clearance`` away from the circuit_trajectory ring of that
+    half-extent (an object straddling the sensor path truncates a whole
+    scan to <2 m -- measured to leave a freshly spawned submap's map
+    untrained beyond arm's reach and blow up LM tracking).
 
     Returns (verts, tris) of a watertight composite mesh spanning
     roughly [-extent/2, extent/2]^2 x [-1, wall_height].
@@ -116,9 +138,17 @@ def quad_scene(extent=40.0, wall_height=6.0, seed=0, n_objects=24):
                            (h, 0, wt, extent + 2), (-h, 0, wt, extent + 2)]:
         parts.append(box(size=(sx, sy, wall_height),
                          center=(cx, cy, wall_height / 2)))
-    # Scattered objects inside (clear of the circuit path near walls).
-    for _ in range(n_objects):
+    # Scattered objects inside, clear of the sensor circuit.
+    placed = 0
+    for _ in range(n_objects * 40):
+        if placed >= n_objects:
+            break
         x, y = rng.uniform(-h + 6.0, h - 6.0, 2)
+        if path_half_extent is not None and _rounded_rect_ring_distance(
+                np.array([[x, y]]), path_half_extent,
+                path_corner_frac)[0] < path_clearance:
+            continue
+        placed += 1
         kind = rng.integers(0, 3)
         if kind == 0:
             s = rng.uniform(0.6, 2.4)

@@ -1,10 +1,20 @@
 """Spatial gradients of scalar fields (reference `grid_opt/diff.py`).
 
 Both the central-finite-difference and the autodiff path are provided.
-The autodiff path uses jax.vjp and is itself differentiable (composes
-with outer jax.grad for eikonal / smoothness training) -- this is the
+The autodiff path is itself differentiable (composes with outer
+jax.grad for eikonal / smoothness training) -- this is the
 functionality the reference needed its CUDA double-backward
 grid_sample extension for.
+
+``autograd`` runs in FORWARD mode: a scalar field on (N, 3) points is
+a pointwise 3->1 map, so its spatial gradient is three vmapped JVPs
+along the coordinate axes -- gather-only on a feature-grid field,
+identical math to reverse mode.  Reverse mode (``autograd_vjp``, the
+previous default) builds the transposed gather of the interpolation;
+on the axon TPU transport that scatter inside a `lax.scan` body was
+measured to hard-crash the worker once the gathered table passes ~2M
+cells (site-covering SLAM grids), and forward mode is also the faster
+orientation for 3 inputs / 1 output.
 """
 from __future__ import annotations
 
@@ -27,6 +37,14 @@ def gradient(x, f, method="autograd", finite_diff_eps=1e-2):
             grads.append((hi - lo) / (2.0 * finite_diff_eps))
         return jnp.concatenate(grads, axis=-1)
     elif method == "autograd":
+        eye = jnp.eye(d, dtype=x.dtype)
+
+        def one(t):
+            return jax.jvp(lambda xx: f(xx).reshape(x.shape[:-1]), (x,),
+                           (jnp.broadcast_to(t, x.shape),))[1]
+
+        return jnp.moveaxis(jax.vmap(one)(eye), 0, -1)
+    elif method == "autograd_vjp":
         def scalar_sum(xx):
             return jnp.sum(f(xx))
         return jax.grad(scalar_sum)(x)

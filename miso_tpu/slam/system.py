@@ -79,14 +79,46 @@ class System:
         """Keep tracker and mapper on the same grid object."""
         self.mapper.grid = self.tracker.grid
 
+    def _submap_local_bound(self, t_anchor) -> np.ndarray:
+        """Per-submap local bound.  Two modes (system.py:125-139):
+
+        * ``submap_local_bound``: a fixed box in the submap frame
+          (anchor-centered coverage).
+        * ``submap_world_bound``: a fixed WORLD box; the local bound is
+          that box translated by -t_anchor, so every submap covers the
+          whole site -- the reference's heavy-overlap regime (its
+          ncd_quad submaps use a 90x90x20 m bound over a 62x73 m site,
+          ncd_quad.yaml:68, keeping tracking fov~1 everywhere).  All
+          submaps share the box EXTENTS, so grid shapes stay identical
+          and nothing recompiles.  Requires axis-aligned submap frames.
+        """
+        wb = self.cfg["system"].get("submap_world_bound")
+        if wb is None:
+            return np.asarray(self.cfg["system"]["submap_local_bound"],
+                              np.float32)
+        assert self.cfg["system"].get("submap_axis_aligned", False), \
+            "submap_world_bound requires system.submap_axis_aligned"
+        b = np.asarray(wb, np.float32).copy()
+        b -= np.asarray(t_anchor, np.float32).reshape(3, 1)
+        return b
+
     # -- lifecycle (system.py:58-96) ---------------------------------------
     def initialize_system(self, Rws=None, tws=None):
         Rws = np.eye(3, dtype=np.float32) if Rws is None else np.asarray(Rws)
         tws = np.zeros(3, np.float32) if tws is None else np.asarray(tws).reshape(3)
-        local_bound = np.asarray(self.cfg["system"]["submap_local_bound"], np.float32)
+        local_bound = self._submap_local_bound(tws)
+        if self.cfg["system"].get("submap_axis_aligned", False):
+            self.model.add_submap(local_bound, np.eye(3, dtype=np.float32),
+                                  tws, num_poses=self.cfg["system"]["submap_size"])
+            self.model.add_kf(Rws, np.zeros(3, dtype=np.float32))
+            self._after_init()
+            return
         self.model.add_submap(local_bound, Rws, tws,
                               num_poses=self.cfg["system"]["submap_size"])
         self.model.add_kf()  # anchor at identity in submap
+        self._after_init()
+
+    def _after_init(self):
         self._fresh_tracker_mapper()
         slots = self.max_replay_frames + 1
         self.mapper.mapping([self.current_kf_id()] * slots,
@@ -138,7 +170,7 @@ class System:
         T_ws = np.asarray(se3.pose_matrix(R_src, t_src))
         T_sd = np.asarray(self.dataset_track.get_odometry_at_pose(src))
         T_wd = T_ws @ T_sd
-        local_bound = np.asarray(self.cfg["system"]["submap_local_bound"], np.float32)
+        local_bound = self._submap_local_bound(T_wd[:3, 3])
         if self.cfg["system"].get("submap_axis_aligned", False):
             # Anchor the submap frame axis-aligned with the world (the
             # anchor KF then carries its rotation as an in-submap pose).

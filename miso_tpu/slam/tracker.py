@@ -32,7 +32,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _lm_core(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
-             lm_lambda, gm_scale, trunc_dist_or_inf, loss_type):
+             lm_lambda, gm_scale, trunc_dist_or_inf, loss_type,
+             max_step_rad=jnp.inf, max_step_m=jnp.inf):
     """One LM update (reference tracker.py:148-212): returns the (3,)/(3,)
     pose-correction deltas + scalar info.  Pure; jitted by lm_step and
     scanned by lm_solve."""
@@ -74,9 +75,19 @@ def _lm_core(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
     g = jnp.matmul(J.T, w * r, precision=_HI)
     delta = jnp.linalg.solve(H, -g).reshape(6)
     d_rot, d_t = delta[:3], delta[3:]
+    # Trust-region step clamp (deviation from the reference, which takes
+    # the raw IRLS/Gauss-Newton step, tracker.py:196-203: its flagship
+    # bounds keep fov~1 so steps stay tiny; at partial coverage or on a
+    # freshly spawned submap an ill-conditioned normal matrix can throw
+    # the pose by tens of degrees in a single step -- measured 126 deg
+    # on one quad-circuit submap transition before the clamp).
+    rn = jnp.linalg.norm(d_rot)
+    tn = jnp.linalg.norm(d_t)
+    d_rot = d_rot * jnp.minimum(1.0, max_step_rad / jnp.maximum(rn, 1e-12))
+    d_t = d_t * jnp.minimum(1.0, max_step_m / jnp.maximum(tn, 1e-12))
     info = {
-        "delta_R_rad": jnp.linalg.norm(d_rot),
-        "delta_t_norm": jnp.linalg.norm(d_t),
+        "delta_R_rad": jnp.minimum(rn, max_step_rad),
+        "delta_t_norm": jnp.minimum(tn, max_step_m),
         "grad_norm": jnp.linalg.norm(g),
         "fov_overlap": fov_overlap,
     }
@@ -85,11 +96,13 @@ def _lm_core(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
 
 @partial(jax.jit, static_argnames=("loss_type",))
 def lm_step(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
-            lm_lambda, gm_scale, trunc_dist_or_inf, loss_type="GM"):
+            lm_lambda, gm_scale, trunc_dist_or_inf, loss_type="GM",
+            max_step_rad=jnp.inf, max_step_m=jnp.inf):
     """One LM registration step.  Returns (new_grid, info dict)."""
     d_rot, d_t, info = _lm_core(grid, coords_frame, gt_sdf, gt_valid,
                                 kf_local, lm_lambda, gm_scale,
-                                trunc_dist_or_inf, loss_type)
+                                trunc_dist_or_inf, loss_type,
+                                max_step_rad, max_step_m)
     new_grid = grid.replace(
         rot_corr=grid.rot_corr.at[kf_local].add(d_rot),
         trans_corr=grid.trans_corr.at[kf_local].add(d_t),
@@ -100,33 +113,47 @@ def lm_step(grid: GridNet, coords_frame, gt_sdf, gt_valid, kf_local,
 @partial(jax.jit, static_argnames=("loss_type",))
 def lm_solve(grid: GridNet, coords_frames, gt_sdfs, gt_valids, kf_local,
              lm_lambda, gm_scale, trunc_dist_or_inf, tol_rad, tol_m,
-             loss_type="GM"):
+             loss_type="GM", max_step_rad=jnp.inf, max_step_m=jnp.inf):
     """The WHOLE LM registration in one dispatch: scan of lm steps over
     pre-sampled per-iteration batches (leading axis k), with the
     reference's early-exit tolerances (tracker.py:125-137) as a
     monotone freeze -- once a step's deltas fall under tolerance, later
     steps leave the pose unchanged.  Returns (new_grid, stacked infos);
     infos['fov_overlap'][0] is the odometry-initialized overlap.
+
+    Returns ``(rot_row, trans_row, infos)`` -- the optimized KF's final
+    correction rows -- NOT an updated grid.  Only those two rows ride
+    the scan carry; the grid (feature tables of millions of cells)
+    stays a loop invariant and is not an output.  Both choices are
+    load-bearing on the axon TPU transport: compiling this scanned
+    program with the full grid pytree as carry OR as output was
+    measured to hard-crash the TPU worker once the fine table passes
+    ~2M cells (site-covering quad SLAM grids), and skipping the 45 MB
+    pass-through output is cheaper everywhere anyway.
     """
+    rot_row0 = grid.rot_corr[kf_local]
+    trans_row0 = grid.trans_corr[kf_local]
 
     def body(carry, batch):
-        grid, stopped = carry
+        rot_row, trans_row, stopped = carry
         c, s, v = batch
-        d_rot, d_t, info = _lm_core(grid, c, s, v, kf_local, lm_lambda,
-                                    gm_scale, trunc_dist_or_inf, loss_type)
+        g = grid.replace(rot_corr=grid.rot_corr.at[kf_local].set(rot_row),
+                         trans_corr=grid.trans_corr.at[kf_local].set(trans_row))
+        d_rot, d_t, info = _lm_core(g, c, s, v, kf_local, lm_lambda,
+                                    gm_scale, trunc_dist_or_inf, loss_type,
+                                    max_step_rad, max_step_m)
         live = jnp.logical_not(stopped).astype(d_rot.dtype)
-        grid = grid.replace(
-            rot_corr=grid.rot_corr.at[kf_local].add(d_rot * live),
-            trans_corr=grid.trans_corr.at[kf_local].add(d_t * live),
-        )
+        rot_row = rot_row + d_rot * live
+        trans_row = trans_row + d_t * live
         converged = jnp.logical_and(info["delta_R_rad"] < tol_rad,
                                     info["delta_t_norm"] < tol_m)
         stopped = jnp.logical_or(stopped, converged)
-        return (grid, stopped), info
+        return (rot_row, trans_row, stopped), info
 
-    (grid, _), infos = jax.lax.scan(
-        body, (grid, jnp.asarray(False)), (coords_frames, gt_sdfs, gt_valids))
-    return grid, infos
+    (rot_row, trans_row, _), infos = jax.lax.scan(
+        body, (rot_row0, trans_row0, jnp.asarray(False)),
+        (coords_frames, gt_sdfs, gt_valids))
+    return rot_row, trans_row, infos
 
 
 class Tracker:
@@ -144,6 +171,10 @@ class Tracker:
         self.lm_max_iter = c.get("lm_max_iter", 10)
         self.lm_tol_deg = c.get("lm_tol_deg", 0.01)
         self.lm_tol_m = c.get("lm_tol_m", 0.001)
+        # Per-step trust region (see _lm_core); generous defaults that
+        # never bind on a healthy solve (typical steps are ~0.1 deg).
+        self.lm_max_step_deg = c.get("lm_max_step_deg", 10.0)
+        self.lm_max_step_m = c.get("lm_max_step_m", 1.0)
         self.loss_type = c.get("loss_type", "GM")
         self.trunc_dist = c.get("trunc_dist", None)
         self.solver = c.get("solver", "lm")
@@ -216,12 +247,17 @@ class Tracker:
                        for _ in range(self.lm_max_iter)]
             stack = lambda k: jnp.asarray(np.stack([b[k] for b in batches]))
             self.last_sample_time = _time.perf_counter() - t0
-            self.grid, infos = lm_solve(
+            rot_row, trans_row, infos = lm_solve(
                 self.grid, stack("coords_frame"), stack("sdf"),
                 stack("sdf_valid"), kf_local,
                 jnp.float32(self.lm_lambda), jnp.float32(self.gm_scale_sdf),
                 trunc, jnp.float32(math.radians(self.lm_tol_deg)),
-                jnp.float32(self.lm_tol_m), loss_type=ltype)
+                jnp.float32(self.lm_tol_m), loss_type=ltype,
+                max_step_rad=jnp.float32(math.radians(self.lm_max_step_deg)),
+                max_step_m=jnp.float32(self.lm_max_step_m))
+            self.grid = self.grid.replace(
+                rot_corr=self.grid.rot_corr.at[kf_local].set(rot_row),
+                trans_corr=self.grid.trans_corr.at[kf_local].set(trans_row))
             fov = np.asarray(infos["fov_overlap"])
             self.initial_fov_overlap = float(fov[0])
             self.latest_fov_overlap = float(fov[-1])
@@ -239,6 +275,8 @@ class Tracker:
                 jnp.float32(self.gm_scale_sdf),
                 trunc,
                 loss_type=ltype,
+                max_step_rad=jnp.float32(math.radians(self.lm_max_step_deg)),
+                max_step_m=jnp.float32(self.lm_max_step_m),
             )
             if it == 0:
                 self.initial_fov_overlap = float(info["fov_overlap"])

@@ -222,14 +222,15 @@ def test_lm_solve_matches_sequential_lm_steps(seq):
         g_seq, _ = lm_step(g_seq, jnp.asarray(b["coords_frame"]),
                            jnp.asarray(b["sdf"]), jnp.asarray(b["sdf_valid"]),
                            1, *args, loss_type="GM")
-    g_scan, infos = lm_solve(grid, stack("coords_frame"), stack("sdf"),
-                             stack("sdf_valid"), 1, *args,
-                             jnp.float32(0.0), jnp.float32(0.0),
-                             loss_type="GM")
-    np.testing.assert_allclose(np.asarray(g_scan.rot_corr),
-                               np.asarray(g_seq.rot_corr), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(g_scan.trans_corr),
-                               np.asarray(g_seq.trans_corr), atol=1e-6)
+    rot_row, trans_row, infos = lm_solve(
+        grid, stack("coords_frame"), stack("sdf"),
+        stack("sdf_valid"), 1, *args,
+        jnp.float32(0.0), jnp.float32(0.0),
+        loss_type="GM")
+    np.testing.assert_allclose(np.asarray(rot_row),
+                               np.asarray(g_seq.rot_corr[1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(trans_row),
+                               np.asarray(g_seq.trans_corr[1]), atol=1e-6)
     assert infos["fov_overlap"].shape == (k,)
 
 
