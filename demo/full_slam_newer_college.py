@@ -52,6 +52,19 @@ def pretrain_decoder_synthetic(mesh_gt, cfg_model, trunc_dist, epochs=200):
                      model, loss_fn, ds)
     return tr.train().decoder
 
+def _json_safe(x):
+    """Recursively cast jnp/np scalars in nested dicts for json.dump."""
+    if isinstance(x, dict):
+        return {k: _json_safe(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_json_safe(v) for v in x]
+    if hasattr(x, "item") and getattr(x, "ndim", 1) == 0:
+        return x.item()
+    if hasattr(x, "tolist"):
+        return x.tolist()
+    return x
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/lidar/ncd_quad.yaml")
@@ -167,8 +180,10 @@ def main():
         cfg["mapping"].update({"trunc_dist": 0.5, "finite_diff_eps": 0.1,
                                "eik_trunc_dist": 0.5, "weight_fs": 0.3,
                                "learning_rate": 3e-3, "loss_type": "L2",
-                               "iters_per_frame": 30,
-                               "level_iters_per_frame": 10,
+                               # Reference replay burst: 15 iters/frame,
+                               # 5 per level (system.py:190-196).
+                               "iters_per_frame": 15,
+                               "level_iters_per_frame": 5,
                                "init_iterations": 100,
                                # zero-weight rows outside the submap
                                # bound (eroded one coarse cell)
@@ -252,6 +267,7 @@ def main():
 
     ate_prefusion = None
     fusion_time = None
+    align_info = None
     ate_postalign = None
     align_time = None
     fuse_time = None
@@ -270,7 +286,7 @@ def main():
                                             "learning_rate": 2e-3})
         t_fuse = time.time()
         fuser = Fuser(atlas, ds_map, cfg)
-        fuser.align()
+        align_info = fuser.align()
         align_time = time.time() - t_fuse
         ate_postalign = _ate()[0]
         print(f"align {align_time:.1f}s -> ATE "
@@ -305,6 +321,7 @@ def main():
                    "slam_time_sec": slam_time,
                    "fusion_time_sec": fusion_time,
                    "align_time_sec": align_time,
+                   "align_stage_info": _json_safe(align_info),
                    "fuse_time_sec": fuse_time,
                    "num_frames": n_frames,
                    "num_submaps": atlas.num_submaps,

@@ -471,8 +471,9 @@ def align_multiple_submaps_hierarchical(
     of pairs that is a multi-GB pair context and a device-killing loss
     body.  SLAM's Fuser caps this via cfg align.max_points.
     """
+    t_pre = time.perf_counter()
     atlas.precompute_coordinates_for_alignment(max_points=max_align_points)
-    info: Dict = {}
+    info: Dict = {"precompute_sec": time.perf_counter() - t_pre}
     cpu_total = 0.0
     if latent_levels is None:
         latent_levels = range(atlas.num_levels)

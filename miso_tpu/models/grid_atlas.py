@@ -89,9 +89,13 @@ def _write_submap(feats, stabs, kf_rc, kf_tc, Rsk, tsk, s,
                   pad_spatial):
     """One jitted dispatch writing a GridNet back into slot s of the
     FOLDED stacked storage (pad grid to the padded spatial shape ->
-    fold -> slot write).  The per-frame SLAM sync hot path; eager
-    .at[].set issues one dispatch and one full-array copy per array."""
-    @functools.partial(jax.jit, static_argnums=(13,))
+    fold -> slot write).  The stacked feature/stability buffers are
+    DONATED so the slot write updates in place instead of copying the
+    whole capacity-sized storage (at quad scale, capacity 8 stacks are
+    ~300 MB/level; the copy was measured at ~0.9 s/frame through the
+    transport).  Callers must drop the old params object -- GridAtlas
+    .set_submap replaces it atomically."""
+    @functools.partial(jax.jit, static_argnums=(13,), donate_argnums=(0, 1))
     def go(feats, stabs, kf_rc, kf_tc, Rsk, tsk, s,
            g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk, pad_spatial):
         def upd(dst, src, pad):
@@ -112,6 +116,15 @@ def _write_submap(feats, stabs, kf_rc, kf_tc, Rsk, tsk, s,
     pad_key = tuple(tuple(int(v) for v in sh) for sh in pad_spatial)
     return go(feats, stabs, kf_rc, kf_tc, Rsk, tsk, jnp.asarray(s),
               g_feats, g_stabs, g_rc, g_tc, g_Rwk, g_twk, pad_key)
+
+
+@jax.jit
+def _write_submap_poses(kf_rc, kf_tc, Rsk, tsk, s, g_rc, g_tc, g_Rwk, g_twk):
+    """Pose-rows-only slot write: the per-frame SLAM sync (tracking and
+    odometry only move poses; features go stale until the next full
+    sync at a submap/fuse/mesh/checkpoint boundary)."""
+    return (kf_rc.at[s].set(g_rc), kf_tc.at[s].set(g_tc),
+            Rsk.at[s].set(g_Rwk), tsk.at[s].set(g_twk))
 
 
 @jax.jit
@@ -370,6 +383,16 @@ class GridAtlasParams(struct.PyTreeNode):
             Rsk=Rsk,
             tsk=tsk,
         )
+
+    def with_submap_poses(self, s: int, grid: GridNet) -> "GridAtlasParams":
+        """Write only slot s's KF pose state back (see
+        ``_write_submap_poses``)."""
+        kf_rc, kf_tc, Rsk, tsk = _write_submap_poses(
+            self.kf_rot_corr, self.kf_trans_corr, self.Rsk, self.tsk,
+            jnp.asarray(s), grid.rot_corr, grid.trans_corr,
+            grid.Rwk, grid.twk)
+        return self.replace(kf_rot_corr=kf_rc, kf_trans_corr=kf_tc,
+                            Rsk=Rsk, tsk=tsk)
 
 
 def _interp_levels_sized(feats, x, bound, sizes, ignore_level,
@@ -719,6 +742,9 @@ class GridAtlas:
 
     def set_submap(self, s: int, grid: GridNet):
         self.params = self.params.with_submap(s, grid, self._submap_shapes[s])
+
+    def set_submap_poses(self, s: int, grid: GridNet):
+        self.params = self.params.with_submap_poses(s, grid)
 
     def global_bound(self) -> np.ndarray:
         """World AABB over transformed submap corners (grid_atlas.py:330-356)."""

@@ -65,9 +65,28 @@ class System:
         return self.model.curr_kf_id
 
     def _sync_submap_from_tracker_mapper(self):
-        """Write the (possibly trained) current submap back to the atlas."""
+        """Full write of the current submap (features + poses) back to
+        the atlas.  Boundary-only: submap spawn, checkpoint, visualizer
+        mesh frames, end of run.  Per frame, only poses move in the
+        atlas's view (tracking + odometry); features live in the
+        mapper's grid until the next boundary -- the full stacked-slot
+        write costs a capacity-sized storage pass and was 0.9 s/frame
+        at quad scale."""
         s = self.model.curr_submap_id
         self.model.set_submap(s, self.mapper.grid)
+        self._features_synced = True
+
+    def _sync_poses_from_tracker(self):
+        """Per-frame pose-rows-only sync (cheap)."""
+        s = self.model.curr_submap_id
+        self.model.set_submap_poses(s, self.tracker.grid)
+        self._features_synced = False
+
+    def ensure_full_sync(self):
+        """Make the atlas's stacked storage current before any reader
+        of submap FEATURES (fusion, meshing, checkpoints)."""
+        if not getattr(self, "_features_synced", True):
+            self._sync_submap_from_tracker_mapper()
 
     def _fresh_tracker_mapper(self):
         s = self.model.curr_submap_id
@@ -295,10 +314,12 @@ class System:
             if prof:
                 prof.add("map_sample", self.mapper.last_sample_time)
             self.tracker.grid = self.mapper.grid
-            with stage("sync", sync=lambda: self.model.params.features):
-                self._sync_submap_from_tracker_mapper()
+            with stage("sync", sync=lambda: self.model.params.kf_rot_corr):
+                self._sync_poses_from_tracker()
             # Visualization artifacts.
             with stage("vis"):
+                if self.visualizer.enable:
+                    self.ensure_full_sync()
                 pts = self.dataset_track.sampled_points_at_kf(head_kf)
                 self.visualizer.set_current_frame_points(np.asarray(pts))
                 self.visualizer.update_geometries(stop_frame=head_kf + 1)
@@ -311,4 +332,5 @@ class System:
                 print(f"[slam] frame {head_kf}/{stop} "
                       f"submap {self.model.curr_submap_id} "
                       f"({_time.strftime('%H:%M:%S')})", flush=True)
+        self.ensure_full_sync()
         self.visualizer.quit()
