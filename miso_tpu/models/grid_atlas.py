@@ -223,46 +223,59 @@ class GridAtlasParams(struct.PyTreeNode):
     def query_feature(self, x_world: jnp.ndarray) -> jnp.ndarray:
         """Masked average of per-submap features for points in bound.
 
-        vmapped over the submap axis; the decoder is applied by
-        __call__.  Points outside every submap get zero features
-        (reference sets sum_weights==0 -> 1).
+        Unrolled masked accumulation over capacity slots; the decoder is
+        applied by __call__.  Points outside every submap get zero
+        features (reference sets sum_weights==0 -> 1).
+
+        Why a Python loop and not vmap: the per-slot interpolation is a
+        row gather from the slot's (cells, F) table.  vmapping the
+        F-folded flat-index gather (grid_interpolate_T) compiled 180 s+
+        and ran 5x slower per gathered element (A/B on v5e at the quad
+        fuse shapes, 2^19 pts x 16 slots: 7.2 s vmapped-T vs ~0.5 s
+        unrolled row gathers; one slot: 154.5 ms T vs 31.6 ms rows).
+        The unrolled form keeps each slot's gather in the fast row
+        layout and XLA schedules the 2S gathers back-to-back.
         """
         R_ws, t_ws = self.updated_submap_poses()
-
-        def per_submap(feats, bound, sizes, R, t, act):
-            xs = se3.transform_points_from(x_world, R, t)
-            mask = se3.coords_in_bound(xs, bound)[:, 0] * act    # (N,)
-            fT = _interp_levels_sized_T(feats, xs, bound, sizes,
-                                        self.ignore_level,
-                                        self.pad_spatial, self.fdim)  # (F, N)
-            return mask[None, :] * fT, mask
-
-        featsT, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
-            self.features, self.bounds, self.sizes, R_ws, t_ws, self.active)
-        sum_w = jnp.sum(masks, axis=0)
+        S = self.Rws.shape[0]
+        acc = None
+        sum_w = None
+        for s in range(S):
+            xs = se3.transform_points_from(x_world, R_ws[s], t_ws[s])
+            mask = se3.coords_in_bound(xs, self.bounds[s])[:, 0] \
+                * self.active[s]                                  # (N,)
+            f = _interp_levels_sized(
+                tuple(lv[s] for lv in self.features), xs, self.bounds[s],
+                tuple(sz[s] for sz in self.sizes), self.ignore_level,
+                self.pad_spatial, self.fdim)                      # (N, F)
+            f = mask[:, None] * f
+            acc = f if acc is None else acc + f
+            sum_w = mask if sum_w is None else sum_w + mask
         sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
-        # One small final transpose (N, F_total); every (S, ...) sized
-        # intermediate above is (S, F, N) -- points on lanes.
-        return (jnp.sum(featsT, axis=0) / sum_w[None, :]).T
+        return acc / sum_w[:, None]
 
     def query_stability(self, x_world: jnp.ndarray) -> jnp.ndarray:
         """Masked average of per-submap stability (mu) fields -- the
         atlas-level observedness signal (used e.g. by
-        utils.sdf.observed_sdf_query for masked meshing)."""
+        utils.sdf.observed_sdf_query for masked meshing).  Same unrolled
+        row-gather accumulation as query_feature."""
         R_ws, t_ws = self.updated_submap_poses()
-
-        def per_submap(stabs, bound, sizes, R, t, act):
-            xs = se3.transform_points_from(x_world, R, t)
-            mask = se3.coords_in_bound(xs, bound)[:, 0] * act
-            fT = _interp_levels_sized_T(stabs, xs, bound, sizes, None,
-                                        self.pad_spatial, 1)
-            return mask[None, :] * fT, mask
-
-        musT, masks = jax.vmap(per_submap, in_axes=(0, 0, 0, 0, 0, 0))(
-            self.stability, self.bounds, self.sizes, R_ws, t_ws, self.active)
-        sum_w = jnp.sum(masks, axis=0)
+        S = self.Rws.shape[0]
+        acc = None
+        sum_w = None
+        for s in range(S):
+            xs = se3.transform_points_from(x_world, R_ws[s], t_ws[s])
+            mask = se3.coords_in_bound(xs, self.bounds[s])[:, 0] \
+                * self.active[s]
+            mu = _interp_levels_sized(
+                tuple(lv[s] for lv in self.stability), xs, self.bounds[s],
+                tuple(sz[s] for sz in self.sizes), None,
+                self.pad_spatial, 1)                              # (N, L)
+            mu = mask[:, None] * mu
+            acc = mu if acc is None else acc + mu
+            sum_w = mask if sum_w is None else sum_w + mask
         sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
-        return (jnp.sum(musT, axis=0) / sum_w[None, :]).T
+        return acc / sum_w[:, None]
 
     def __call__(self, x_world: jnp.ndarray) -> jnp.ndarray:
         feats = self.query_feature(x_world)
@@ -384,6 +397,56 @@ class GridAtlasParams(struct.PyTreeNode):
             tsk=tsk,
         )
 
+    # -- capacity trimming (fuse-time) --------------------------------------
+    def trim(self, S_live: int) -> "GridAtlasParams":
+        """Slice storage to the first ``S_live`` submap slots.
+
+        Dead capacity slots cost full gather/scatter work in the
+        atlas-wide fusion loss (a capacity-16 atlas with 10 live submaps
+        does 60% extra work); fuse() trims, optimizes, and scatters
+        back.  Valid because submaps fill slots in order and global kf
+        ids are sequential, so every live kf id < S_live * K.
+        """
+        K = self.max_kfs_per_submap
+        return self.replace(
+            features=tuple(f[:S_live] for f in self.features),
+            stability=tuple(st[:S_live] for st in self.stability),
+            sub_rot_corr=self.sub_rot_corr[:S_live],
+            sub_trans_corr=self.sub_trans_corr[:S_live],
+            Rws=self.Rws[:S_live], tws=self.tws[:S_live],
+            kf_rot_corr=self.kf_rot_corr[:S_live],
+            kf_trans_corr=self.kf_trans_corr[:S_live],
+            Rsk=self.Rsk[:S_live], tsk=self.tsk[:S_live],
+            bounds=self.bounds[:S_live],
+            sizes=tuple(sz[:S_live] for sz in self.sizes),
+            active=self.active[:S_live],
+            kf_to_submap=self.kf_to_submap[:S_live * K],
+            kf_to_local=self.kf_to_local[:S_live * K],
+        )
+
+    def scatter_trimmed(self, t: "GridAtlasParams") -> "GridAtlasParams":
+        """Write a :meth:`trim`-derived params back into this
+        full-capacity storage (inverse of trim for the live rows)."""
+        S_live = t.Rws.shape[0]
+        K = self.max_kfs_per_submap
+        return self.replace(
+            features=tuple(f.at[:S_live].set(tf)
+                           for f, tf in zip(self.features, t.features)),
+            stability=tuple(s_.at[:S_live].set(ts)
+                            for s_, ts in zip(self.stability, t.stability)),
+            decoder=t.decoder,
+            sub_rot_corr=self.sub_rot_corr.at[:S_live].set(t.sub_rot_corr),
+            sub_trans_corr=self.sub_trans_corr.at[:S_live].set(t.sub_trans_corr),
+            Rws=self.Rws.at[:S_live].set(t.Rws),
+            tws=self.tws.at[:S_live].set(t.tws),
+            kf_rot_corr=self.kf_rot_corr.at[:S_live].set(t.kf_rot_corr),
+            kf_trans_corr=self.kf_trans_corr.at[:S_live].set(t.kf_trans_corr),
+            Rsk=self.Rsk.at[:S_live].set(t.Rsk),
+            tsk=self.tsk.at[:S_live].set(t.tsk),
+            kf_to_submap=self.kf_to_submap.at[:S_live * K].set(t.kf_to_submap),
+            kf_to_local=self.kf_to_local.at[:S_live * K].set(t.kf_to_local),
+        )
+
     def with_submap_poses(self, s: int, grid: GridNet) -> "GridAtlasParams":
         """Write only slot s's KF pose state back (see
         ``_write_submap_poses``)."""
@@ -406,23 +469,6 @@ def _interp_levels_sized(feats, x, bound, sizes, ignore_level,
             f = f * (1.0 - ignore_level[level])
         outs.append(f)
     return jnp.concatenate(outs, axis=-1)
-
-
-def _interp_levels_sized_T(feats, x, bound, sizes, ignore_level,
-                           spatial=None, fdim=None):
-    """Transposed (F_total, N) variant for the capacity-vmapped query
-    paths: all big intermediates keep points on the lane axis (see
-    ops.interp.grid_interpolate_T for the 32x lane-padding failure this
-    avoids at fusion/meshing scale)."""
-    outs = []
-    for level, g in enumerate(feats):
-        f = interp.grid_interpolate_T(
-            g, x, bound, size=sizes[level],
-            spatial=None if spatial is None else spatial[level], fdim=fdim)
-        if ignore_level is not None:
-            f = f * (1.0 - ignore_level[level])
-        outs.append(f)
-    return jnp.concatenate(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -153,39 +153,6 @@ def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
     return jnp.einsum("cn,cnf->nf", w, cf)
 
 
-def grid_interpolate_T(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
-                       size: Optional[jnp.ndarray] = None,
-                       spatial: Optional[Sequence[int]] = None,
-                       fdim: Optional[int] = None) -> jnp.ndarray:
-    """:func:`grid_interpolate` emitting (F, N) -- the layout-safe core
-    for LARGE-intermediate consumers (the capacity-vmapped atlas query,
-    losses/fusion.py; meshing's observed queries).
-
-    Why a second formulation exists: the (C, N, F) corner-feature
-    intermediate of grid_interpolate puts the tiny feature dim (F=4) on
-    the TPU lane axis; whenever XLA *materializes* it (the remat pass
-    does at fusion/meshing scale), tiled layout pads 4 -> 128 lanes --
-    32x memory.  A capacity-16 atlas at 2^19 points hit a single 32 GB
-    allocation for a 1 GB tensor this way (f32[67108864,4]{T(8,128)}).
-    Here the flat element gather (index lin*F + f) emits corners
-    directly as (C*F, N) -- points on lanes, zero padding -- and the
-    weighted corner reduction stays in that layout.  Same math, same
-    grads, any order.
-    """
-    d = x.shape[-1]
-    if spatial is None:
-        spatial = grid.shape[:-1]
-        assert len(spatial) == d, f"grid rank {len(spatial)} != coord dim {d}"
-    F = int(fdim) if fdim is not None else grid.shape[-1]
-    N = x.shape[0]
-    lin, w = corner_indices_and_weights(x, bound, spatial, size)
-    flat = grid.reshape(-1)
-    idx = (lin[:, None, :] * F
-           + jnp.arange(F, dtype=jnp.int32)[None, :, None])      # (C, F, N)
-    cf = jnp.take(flat, idx.reshape(-1), axis=0).reshape(2 ** d, F, N)
-    return jnp.einsum("cn,cfn->fn", w, cf)
-
-
 def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
                                x: jnp.ndarray, bounds: jnp.ndarray,
                                sizes: jnp.ndarray,
@@ -254,7 +221,9 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
     w = jnp.stack(w_all)
     # (C, F, N) element gather -- keeps N on the lane axis so a
     # materialized corner-feature intermediate is never lane-padded
-    # (see grid_interpolate_T; (C, N, F) pads F=4 -> 128, 32x).
+    # ((C, N, F) pads F=4 -> 128 lanes, 32x; reshaping the full stacked
+    # storage to (S*cells, F) materializes the same 32x-padded copy --
+    # 18.6 GB at quad fuse scale -- so the flat element gather stays).
     flat = stacked.reshape(-1)
     idx = (lin[:, None, :] * F
            + jnp.arange(F, dtype=jnp.int32)[None, :, None])

@@ -48,23 +48,36 @@ class Fuser:
         )
 
     def fuse(self, feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
-             iterations=10, seed=0, max_points_per_iter=2 ** 19,
-             scan_chunk=8):
+             iterations=10, seed=0, max_points_per_iter=2 ** 19):
         """Joint refinement with per-group LRs (fuser.py:57-120).
 
         The base lr of the masked Adam is 1.0 and each group's rate is
         its mask multiplier, reproducing the reference's param groups.
 
+        Dispatch shape: one jitted train STEP per iteration, not a
+        scanned burst.  The fusion step is compute-bound (S x N row
+        gathers / scatter-adds over the stacked storage, seconds per
+        step at production scale), so scan's dispatch amortization buys
+        nothing here -- and compiling a scan whose carry is the
+        multi-GB stacked atlas hard-crashed the TPU worker at
+        capacity 16 (isolated in repro: the identical single step
+        compiles and runs fine; the k=8 scan kills the worker).
+        Mapping/tracking keep their scanned bursts: their grids are
+        per-submap and their steps are dispatch-bound.
+
+        Storage is trimmed to the live submap slots for the whole
+        refinement (capacity 16 / 10 live = 60% dead gather work) and
+        scattered back afterwards.
+
         ``max_points_per_iter``: random row cap per iteration batch (a
         full-sequence sample is frame_batchsize x num_kfs x augmentation
-        rows, ~2.6M on a 300-frame run).  ``scan_chunk``: iterations per
-        scanned dispatch.  Both bound the TPU backend's remat working
-        set: at 30 x 2.6M-row iterations in one scan the compiler
-        demanded 40 GB of HBM (16 GB v5e) by materializing
-        per-iteration loop state across the whole scan.
+        rows, ~2.6M on a 300-frame run).
         """
         self.dataset.unselect_keyframes()
-        params = self.atlas.params
+        full = self.atlas.params
+        S_live = self.atlas.num_submaps
+        trimmed = S_live < full.Rws.shape[0]
+        params = full.trim(S_live) if trimmed else full
         mask = grid_atlas_mask(params, features=feat_lr > 0, stability=feat_lr > 0,
                                submap_pose=submap_pose_lr > 0,
                                kf_pose=kf_pose_lr > 0,
@@ -85,19 +98,11 @@ class Fuser:
         )
         opt_state = masked_adam_init(params)
 
-        # The whole refinement is ONE scanned dispatch (pre-sampled
-        # per-iteration batches) through the cached trainer scan --
-        # make_loss + make_train_scan both cache by identity, so
-        # repeated fuse() calls reuse the compiled executable.
         from miso_tpu.losses.miso import make_loss
-        from miso_tpu.train.trainer import make_train_scan
+        from miso_tpu.train.trainer import make_train_step
 
         loss_fn = make_loss(fusion_loss, **loss_kwargs)
-        # remat: the fusion loss is wide (per-submap interpolated
-        # features, S x N x F per level); without checkpointing the TPU
-        # backend stores every scan iteration's activations for the
-        # backward, which OOMs at production batch sizes.
-        burst = make_train_scan(loss_fn, "adam", remat=True)
+        step = make_train_step(loss_fn, "adam")
         rng = np.random.default_rng(seed)
 
         def capped_sample():
@@ -106,23 +111,14 @@ class Fuser:
             if max_points_per_iter and n > max_points_per_iter:
                 idx = rng.choice(n, max_points_per_iter, replace=False)
                 b = {k: np.asarray(v)[idx] for k, v in b.items()}
-            return b
+            return {k: jnp.asarray(np.asarray(v)) for k, v in b.items()}
 
         key = jax.random.PRNGKey(seed)
-        tls = None
-        done = 0
-        while done < iterations:
-            k = min(scan_chunk, iterations - done)
-            # Power-of-two chunk lengths bound the executable set.
-            while k & (k - 1):
-                k &= k - 1
-            raw = [capped_sample() for _ in range(k)]
-            batches = {k2: jnp.asarray(np.stack([np.asarray(b[k2])
-                                                 for b in raw]))
-                       for k2 in raw[0]}
+        tl = None
+        for _ in range(iterations):
+            batch = capped_sample()
             key, sub = jax.random.split(key)
-            params, opt_state, tls = burst(params, opt_state, batches, sub,
-                                           mask, jnp.float32(1.0))
-            done += k
-        self.atlas.params = params
-        return float(tls[-1])
+            params, opt_state, tl, _ = step(params, opt_state, batch, sub,
+                                            mask, jnp.float32(1.0))
+        self.atlas.params = full.scatter_trimmed(params) if trimmed else params
+        return float(tl)
