@@ -302,3 +302,56 @@ def test_system_axis_aligned_submap_anchors(seq, pretrained_decoder_path):
                      for k in range(9)])
     err = np.linalg.norm(np.asarray(tk)[:9] - t_gt, axis=1)
     assert err.max() < 0.5, err
+
+
+@pytest.mark.fast
+def test_trim_scatter_and_spare_capacity_fuse(seq, pretrained_decoder_path):
+    """Capacity trimming used by Fuser.fuse: a trimmed params is
+    query-identical to the full one (dead slots contribute exact
+    zeros), scatter_trimmed(trim(S)) round-trips bit-exactly, and
+    fuse() on a spare-capacity atlas updates only the live rows."""
+    model_cfg = dict(MODEL_CFG)
+    model_cfg["decoder"] = dict(MODEL_CFG["decoder"], fix=True,
+                                pretrained_model=pretrained_decoder_path)
+    atlas = GridAtlas(model_cfg, max_kfs_per_submap=6, capacity=4)
+    for s in range(2):
+        R0, t0 = seq.true_kf_pose_in_world(6 * s)
+        atlas.add_submap(CFG["system"]["submap_local_bound"],
+                         np.eye(3, dtype=np.float32), t0)
+        for k in range(6):
+            Rk, tk = seq.true_kf_pose_in_world(6 * s + k)
+            atlas.add_kf(Rk, np.reshape(tk, 3) - np.reshape(t0, 3))
+    # non-trivial features so query parity is meaningful
+    key = jax.random.PRNGKey(0)
+    p = atlas.params
+    atlas.params = p.replace(features=tuple(
+        f + 0.05 * jax.random.normal(key, f.shape) for f in p.features))
+    full = atlas.params
+    assert full.Rws.shape[0] == 4 and atlas.num_submaps == 2
+
+    trimmed = full.trim(2)
+    assert trimmed.Rws.shape[0] == 2
+    x = jnp.asarray(np.random.default_rng(3).uniform(-4, 4, (257, 3)),
+                    jnp.float32)
+    np.testing.assert_array_equal(np.asarray(trimmed.query_feature(x)),
+                                  np.asarray(full.query_feature(x)))
+    np.testing.assert_array_equal(np.asarray(trimmed.query_stability(x)),
+                                  np.asarray(full.query_stability(x)))
+    rt = full.scatter_trimmed(trimmed)
+    for a, b in zip(jax.tree_util.tree_leaves(rt),
+                    jax.tree_util.tree_leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    from miso_tpu.slam.fuser import Fuser
+
+    cfg = {k: (dict(v) if isinstance(v, dict) else v) for k, v in CFG.items()}
+    fuser = Fuser(atlas, seq, cfg)
+    fuser.fuse(feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
+               iterations=2, max_points_per_iter=2 ** 12)
+    after = atlas.params
+    for lvl in range(after.num_levels):
+        # live rows trained, dead rows bit-identical
+        assert not np.array_equal(np.asarray(after.features[lvl][:2]),
+                                  np.asarray(full.features[lvl][:2]))
+        np.testing.assert_array_equal(np.asarray(after.features[lvl][2:]),
+                                      np.asarray(full.features[lvl][2:]))
