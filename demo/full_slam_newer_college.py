@@ -323,6 +323,9 @@ def main():
                    "align_time_sec": align_time,
                    "align_stage_info": _json_safe(align_info),
                    "fuse_time_sec": fuse_time,
+                   "fuse_info": _json_safe(
+                       getattr(fuser, "last_fuse_info", None)
+                       if atlas.num_submaps > 1 else None),
                    "num_frames": n_frames,
                    "num_submaps": atlas.num_submaps,
                    "frame_profile": profile}, f, indent=2)

@@ -293,6 +293,50 @@ class SdfSequence(SubmapDataset):
     def noisy_kf_pose_in_world(self, kf_id: int):
         return self.R_noisy[kf_id], self.t_noisy[kf_id]
 
+    def device_pool(self):
+        """Device-resident per-keyframe sample pools for the current
+        selection (consumed by trainer.make_train_scan_pool: the SLAM
+        mapping burst samples batches ON DEVICE instead of re-running
+        the numpy path below each burst).
+
+        Returns (pool dict of (K, n_max, ...) jnp arrays zero-padded to
+        the dataset-wide max frame rows, kfs (K,) int32, n_rows (K,)
+        int32 valid counts, frame_batchsize).  Per-kf uploads happen
+        once and are cached; a new selection only restacks on device.
+        """
+        import jax.numpy as jnp
+
+        kfs = self._selected if self._selected is not None \
+            else list(range(self.num_kfs))
+        if not hasattr(self, "_dev_frames"):
+            self._dev_frames = {}
+            self._pool_nmax = max(f["points_frame"].shape[0]
+                                  for f in self.frames)
+            self._pool_sel = None
+        names = (("coords_frame", "points_frame"), ("sdf", "sdf"),
+                 ("sdf_valid", "valid"), ("sdf_signs", "signs"))
+        for kf in kfs:
+            if kf not in self._dev_frames:
+                fr = self.frames[kf]
+                n = fr["points_frame"].shape[0]
+                pad = self._pool_nmax - n
+                self._dev_frames[kf] = {
+                    out: jnp.asarray(np.pad(fr[src], [(0, pad)]
+                                            + [(0, 0)] * (fr[src].ndim - 1)))
+                    for out, src in names}
+        sel = tuple(kfs)
+        if self._pool_sel != sel:
+            self._pool_sel = sel
+            self._pool = {out: jnp.stack([self._dev_frames[kf][out]
+                                          for kf in kfs])
+                          for out, _ in names}
+            self._pool_kfs = jnp.asarray(np.asarray(sel, np.int32))
+            self._pool_nrows = jnp.asarray(np.asarray(
+                [self.frames[kf]["points_frame"].shape[0] for kf in kfs],
+                np.int32))
+        return self._pool, self._pool_kfs, self._pool_nrows, \
+            self.frame_batchsize
+
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         """frame_batchsize samples per selected KF, fixed shape per
         selection size (sdf_3d_lidar.py:374-428 getitem_world analog)."""

@@ -58,6 +58,13 @@ class Mapper:
             # bursts are the SLAM hot loop; dispatch count dominates on
             # remote transports).  mapping.scan_steps: 1 disables.
             "scan_steps": self.cfg["mapping"].get("scan_steps", 256),
+            # On-device batch sampling from resident per-kf pools
+            # (trainer.make_train_scan_pool) -- skips the per-burst host
+            # sample+stack+upload.  CLIP supervision needs batch fields
+            # the pool lacks, so it falls back to host sampling.
+            "device_sampling": self.cfg["mapping"].get(
+                "device_sampling",
+                self.cfg["mapping"].get("weight_clip", 0.0) == 0.0),
         })
 
         def mask_for_level(model, level):

@@ -145,6 +145,90 @@ def make_train_scan(loss_fn: Callable, optimizer: str = "adam",
     return jitted
 
 
+_POOL_SCAN_CACHE: Dict = {}
+
+
+def make_train_scan_pool(loss_fn: Callable, optimizer: str = "adam"):
+    """Scanned train burst that SAMPLES ITS BATCHES ON DEVICE.
+
+    scan_pool_fn(model, opt_state, pool, kfs, key, mask, lr, steps) ->
+    (model, opt_state, total_losses (steps,)).
+
+    ``pool``: dict of (K, n_max, ...) device-resident per-keyframe
+    sample pools (coords_frame, sdf, sdf_valid, sdf_signs), zero-padded
+    to the dataset-wide max row count; ``kfs``: (K,) int32 keyframe
+    ids; ``n_rows``: (K,) int32 valid rows per kf (padding rows are
+    never drawn); ``steps``/batch rows per kf ``B`` are static.  Each
+    scan iteration draws (K, B) row indices with jax.random and gathers
+    its batch from the pool inside the dispatch.
+
+    Why: the host path re-samples + re-stacks + re-uploads every burst
+    (measured ~150 ms/frame of the SLAM loop at quad scale -- numpy
+    fancy-indexing over ~60k-row frames plus the H2D hop).  With the
+    pools resident, per-frame host work drops to one small pool upload
+    when a keyframe first appears.  Statistically identical sampling
+    (uniform rows with replacement, like SubmapDataset.sample); the
+    random stream differs (jax PRNG instead of numpy), so training is
+    deterministic given the key but not bit-equal to the host path.
+    """
+    cache_key = (loss_fn, optimizer)
+    if cache_key in _POOL_SCAN_CACHE:
+        return _POOL_SCAN_CACHE[cache_key]
+
+    def scan_pool_fn(model, opt_state, pool, kfs, n_rows, key, mask, lr,
+                     steps: int, B: int):
+        K = kfs.shape[0]
+        ids = jnp.repeat(kfs.astype(jnp.int32), B)
+        weights = jnp.ones((K * B, 1), jnp.float32)
+
+        def body(carry, _):
+            model, opt_state, key = carry
+            key, k_idx, sub = jax.random.split(key, 3)
+            u = jax.random.uniform(k_idx, (K, B))
+            idx = jnp.floor(u * n_rows[:, None].astype(u.dtype)
+                            ).astype(jnp.int32)
+
+            def take(a):
+                ix = idx.reshape(K, B, *(1,) * (a.ndim - 2))
+                g = jnp.take_along_axis(a, ix, axis=1)
+                return g.reshape(K * B, *a.shape[2:])
+
+            batch = {name: take(a) for name, a in pool.items()}
+            batch["sample_frame_ids"] = ids
+            batch["weights"] = weights
+
+            def objective(m):
+                d = loss_fn(m, batch, sub)
+                return total_loss(d), d
+
+            (tl, _), grads = jax.value_and_grad(
+                objective, has_aux=True, allow_int=True)(model)
+            bad = jnp.logical_not(jnp.isfinite(tl))
+            guard = jnp.where(bad, 0.0, 1.0)
+            grads = jax.tree_util.tree_map(
+                lambda g: g if g.dtype == jax.dtypes.float0
+                else jnp.nan_to_num(g), grads)
+            eff = jax.tree_util.tree_map(lambda m_: m_ * guard, mask)
+            if optimizer == "adam":
+                new_m, new_o = masked_adam_update(grads, opt_state, model,
+                                                  eff, lr=lr)
+            elif optimizer == "sgd":
+                new_m, new_o = masked_sgd_update(grads, opt_state, model,
+                                                 eff, lr=lr)
+            else:
+                raise ValueError(f"Invalid optimizer: {optimizer}")
+            return (new_m, new_o, key), tl
+
+        (model, opt_state, _), tls = jax.lax.scan(
+            body, (model, opt_state, key), None, length=steps)
+        return model, opt_state, tls
+
+    jitted = jax.jit(scan_pool_fn, donate_argnums=(1,),
+                     static_argnums=(8, 9))
+    _POOL_SCAN_CACHE[cache_key] = jitted
+    return jitted
+
+
 class Trainer:
     """Generic loop (reference trainer.py:15-362).
 
@@ -256,16 +340,30 @@ class Trainer:
 
     def _train_scan_chunk(self, epoch: int, k: int):
         t0 = time.perf_counter()
-        batches = [self.dataset.sample(self.rng) for _ in range(k)]
-        stacked = {name: jnp.asarray(np.stack([np.asarray(b[name])
-                                               for b in batches]))
-                   for name in batches[0]}
-        self.sample_time += time.perf_counter() - t0
-        scan_fn = make_train_scan(self.loss_fn, self.optimizer_name)
-        self.key, sub = jax.random.split(self.key)
-        self.model, self.opt_state, tls = scan_fn(
-            self.model, self.opt_state, stacked, sub, self.current_mask(),
-            jnp.asarray(self.lr, jnp.float32))
+        if self.cfg.get("device_sampling") and hasattr(self.dataset,
+                                                       "device_pool"):
+            # Device-resident pools: the burst samples its own batches
+            # inside the dispatch (see make_train_scan_pool).  Host cost
+            # is one pool upload per new keyframe, not per burst.
+            pool, kfs, n_rows, B = self.dataset.device_pool()
+            self.sample_time += time.perf_counter() - t0
+            scan_fn = make_train_scan_pool(self.loss_fn, self.optimizer_name)
+            self.key, sub = jax.random.split(self.key)
+            self.model, self.opt_state, tls = scan_fn(
+                self.model, self.opt_state, pool, kfs, n_rows, sub,
+                self.current_mask(), jnp.asarray(self.lr, jnp.float32),
+                k, int(B))
+        else:
+            batches = [self.dataset.sample(self.rng) for _ in range(k)]
+            stacked = {name: jnp.asarray(np.stack([np.asarray(b[name])
+                                                   for b in batches]))
+                       for name in batches[0]}
+            self.sample_time += time.perf_counter() - t0
+            scan_fn = make_train_scan(self.loss_fn, self.optimizer_name)
+            self.key, sub = jax.random.split(self.key)
+            self.model, self.opt_state, tls = scan_fn(
+                self.model, self.opt_state, stacked, sub, self.current_mask(),
+                jnp.asarray(self.lr, jnp.float32))
         if self.verbose:
             print(f"Train epochs {epoch}..{epoch + k - 1} (scanned) | "
                   f"train_loss={float(tls[-1]):.2e}")

@@ -89,3 +89,123 @@ def test_make_loss_caches_by_identity():
     c = make_loss(mapping_loss, loss_type="L2", weight_sdf=1.0)
     assert a is b
     assert a is not c
+
+
+def _tiny_seq(frame_samples=64, num_frames=3):
+    from miso_tpu.datasets.sequence import SdfSequence, orbit_trajectory
+    from miso_tpu.datasets.shapes import room_scene
+    from miso_tpu.native import TriangleMesh
+
+    verts, tris = room_scene(4.0, seed=0)
+    mesh = TriangleMesh(verts, tris)
+    R, t = orbit_trajectory(center=[0, 0, 0], radius=1.4, height=1.2,
+                            num_frames=num_frames, look_at=[0, 0, -0.5])
+    return SdfSequence(mesh, R, t, frame_samples=frame_samples,
+                       frame_batchsize=32, trunc_dist=0.3,
+                       near_surface_std=0.1, seed=1)
+
+
+def test_device_pool_shapes_and_padding():
+    seq = _tiny_seq()
+    seq.select_keyframes([0, 2])
+    pool, kfs, n_rows, B = seq.device_pool()
+    assert list(np.asarray(kfs)) == [0, 2]
+    assert B == 32
+    nmax = max(f["points_frame"].shape[0] for f in seq.frames)
+    for name, a in pool.items():
+        assert a.shape[0] == 2 and a.shape[1] == nmax, (name, a.shape)
+    for i, kf in enumerate((0, 2)):
+        n = seq.frames[kf]["points_frame"].shape[0]
+        assert int(n_rows[i]) == n
+        # padding rows are zero
+        tail = np.asarray(pool["coords_frame"][i, n:])
+        assert (tail == 0).all()
+    # selection change restacks
+    seq.select_keyframes([1])
+    pool2, kfs2, n_rows2, _ = seq.device_pool()
+    assert pool2["coords_frame"].shape[0] == 1
+    assert list(np.asarray(kfs2)) == [1]
+
+
+def test_pool_scan_matches_host_step_on_singleton_pools():
+    """With 1 valid row per kf every draw picks row 0, so one pooled
+    scan step must equal the host make_train_step on the equivalent
+    batch exactly (the mapping loss ignores the RNG key)."""
+    from miso_tpu.losses.miso import mapping_loss
+    from miso_tpu.train.optim import masked_adam_init
+    from miso_tpu.train.trainer import (make_train_scan_pool,
+                                        make_train_step)
+    from miso_tpu.models.base import tree_full_mask
+
+    seq = _tiny_seq()
+    cfg = dict(CFG_MODEL)
+    cfg["pose"] = {"optimize": True, "num_poses": 4}
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    for kf in range(3):
+        R, t = seq.true_kf_pose_in_world(kf)
+        model = model.set_initial_kf_pose(kf, jnp.asarray(R), jnp.asarray(t))
+    loss_fn = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0,
+                        weight_eik=0.0, weight_fs=0.2, trunc_dist=0.3,
+                        finite_diff_eps=0.05, grad_method="finitediff",
+                        eik_trunc_dist=0.3)
+    seq.select_keyframes([0, 1, 2])
+    pool, kfs, n_rows, B = seq.device_pool()
+    ones = jnp.ones((3,), jnp.int32)
+    mask = tree_full_mask(model)
+    lr = jnp.float32(1e-2)
+
+    burst = make_train_scan_pool(loss_fn, "adam")
+    m1, _, tls = burst(model, masked_adam_init(model), pool, kfs, ones,
+                       jax.random.PRNGKey(5), mask, lr, 1, int(B))
+
+    # equivalent host batch: row 0 of each kf, repeated B times
+    batch = {}
+    for name, a in pool.items():
+        row0 = np.asarray(a[:, 0])
+        batch[name] = jnp.asarray(np.repeat(row0, B, axis=0))
+    batch["sample_frame_ids"] = jnp.repeat(jnp.asarray([0, 1, 2],
+                                                       jnp.int32), B)
+    batch["weights"] = jnp.ones((3 * B, 1), jnp.float32)
+    step = make_train_step(loss_fn, "adam")
+    m2, _, tl, _ = step(model, masked_adam_init(model), batch,
+                        jax.random.PRNGKey(7), mask, lr)
+    np.testing.assert_allclose(float(tls[0]), float(tl), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m2)):
+        if hasattr(a, "dtype") and np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_device_sampling_trains():
+    """GridTrainer with cfg device_sampling=True runs the pooled scan
+    path end-to-end and reduces the mapping loss."""
+    from miso_tpu.losses.miso import mapping_loss
+
+    seq = _tiny_seq(frame_samples=256)
+    cfg = dict(CFG_MODEL)
+    cfg["grid"] = dict(CFG_MODEL["grid"],
+                       bound=[[-4.0, 4.0], [-4.0, 4.0], [-4.0, 4.0]])
+    cfg["pose"] = {"optimize": True, "num_poses": 4}
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    for kf in range(3):
+        R, t = seq.true_kf_pose_in_world(kf)
+        model = model.set_initial_kf_pose(kf, jnp.asarray(R), jnp.asarray(t))
+    loss_fn = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0,
+                        weight_eik=0.0, weight_fs=0.2, trunc_dist=0.3,
+                        finite_diff_eps=0.05, grad_method="finitediff",
+                        eik_trunc_dist=0.3)
+    seq.select_keyframes([0, 1, 2])
+    tr = Trainer({"optimizer": "adam", "learning_rate": 5e-3, "epochs": 32,
+                  "scan_steps": 16, "device_sampling": True},
+                 model, loss_fn, seq)
+    key0 = jax.random.PRNGKey(11)
+    b = seq.sample(np.random.default_rng(2))
+    b = {k: jnp.asarray(np.asarray(v)) for k, v in b.items()}
+    before = sum(float(jnp.mean(v))
+                 for v in loss_fn(model, b, key0).values())
+    trained = tr.train()
+    after = sum(float(jnp.mean(v))
+                for v in loss_fn(trained, b, key0).values())
+    assert after < before * 0.8, (before, after)
+    assert tr.sample_time < 0.5  # pool path: no per-burst host sampling
