@@ -246,9 +246,60 @@ def main():
         R0 = np.eye(3, dtype=np.float32)
     if args.synthetic:
         atlas.set_decoder(dec, fixed=True)
+    # Compile the big end-of-run executables NOW, BEFORE the System
+    # exists: once the SLAM loop has run, any big cache-miss compile in
+    # this process runs ~10x slower (CLAUDE.md rule 7; meshing was
+    # 1080 s of the 300-frame run, the fuse step 292 s even as an early
+    # prewarm after System init).  A throwaway atlas with the same
+    # capacity/bounds gives identical storage shapes, so the real run's
+    # compiles are jit-cache hits.
+    from miso_tpu.slam.fuser import Fuser
+    from miso_tpu.utils.sdf import prewarm_extract_fields
+
+    n_total = ds_map.num_kfs
+    expected_submaps = -(-n_total // cfg["system"]["submap_size"])
+    cfg.setdefault("align", {}).update({"level_iters": 50,
+                                        "finetune_iters": 50,
+                                        "skip_finetune": False,
+                                        "learning_rate": 2e-3})
+    if args.synthetic:
+        pw_slots = min(expected_submaps,
+                       cfg["system"].get("submap_capacity")
+                       or expected_submaps)
+        pw_atlas = GridAtlas(cfg["model"],
+                             max_kfs_per_submap=cfg["system"]["submap_size"],
+                             capacity=cfg["system"].get("submap_capacity"))
+        pw_atlas.set_decoder(dec, fixed=True)
+        from miso_tpu.slam.system import quantized_local_bound
+        wb_pw = np.asarray(cfg["system"]["submap_world_bound"], np.float32)
+        for _ in range(max(pw_slots, 1)):
+            pw_atlas.add_submap(quantized_local_bound(
+                wb_pw, wb_pw.mean(axis=1)))
+        t_pw = time.time()
+        prewarm_extract_fields(pw_atlas.params, args.mesh_resolution,
+                               feature_dtype="bfloat16")
+        print(f"mesh prewarm {time.time()-t_pw:.1f}s", flush=True)
+        if expected_submaps > 1:
+            pw_fuser = Fuser(pw_atlas, ds_map, cfg)
+            t_pw = time.time()
+            pw_fuser.prewarm(expected_submaps=pw_slots)
+            print(f"fuse prewarm {time.time()-t_pw:.1f}s", flush=True)
+            # Align prewarm: the same align call on the throwaway atlas
+            # compiles the (cached) pair losses + scanned solves at the
+            # run's exact shapes; the real align is then a jit-cache hit.
+            t_pw = time.time()
+            pw_fuser.align()
+            print(f"align prewarm {time.time()-t_pw:.1f}s", flush=True)
+        del pw_atlas
+    fuser = None
     t_start = time.time()
     system = System(atlas, ds_track, ds_map, cfg,
                     R_world_origin=R0, t_world_origin=t0)
+    if expected_submaps > 1:
+        fuser = Fuser(atlas, ds_map, cfg)
+        fuser._prewarmed_slots = min(
+            expected_submaps, cfg["system"].get("submap_capacity")
+            or expected_submaps)
     system.run()
     slam_time = time.time() - t_start
 
@@ -274,18 +325,15 @@ def main():
     if atlas.num_submaps > 1:
         # Global consistency pass over the submap collection
         # (reference fuser.py:29-120).
-        from miso_tpu.slam.fuser import Fuser
+        if fuser is None:
+            from miso_tpu.slam.fuser import Fuser
 
+            fuser = Fuser(atlas, ds_map, cfg)
         ate_prefusion = _ate()[0]
         print(f"{atlas.num_submaps} submaps | pre-fusion ATE "
               f"{ate_prefusion['ate_rmse']*100:.2f} cm / "
               f"{ate_prefusion['rot_rmse_deg']:.2f} deg -> Fuser align+fuse")
-        cfg.setdefault("align", {}).update({"level_iters": 50,
-                                            "finetune_iters": 50,
-                                            "skip_finetune": False,
-                                            "learning_rate": 2e-3})
         t_fuse = time.time()
-        fuser = Fuser(atlas, ds_map, cfg)
         align_info = fuser.align()
         align_time = time.time() - t_fuse
         ate_postalign = _ate()[0]
@@ -329,6 +377,8 @@ def main():
                    "num_frames": n_frames,
                    "num_submaps": atlas.num_submaps,
                    "frame_profile": profile}, f, indent=2)
+    # Final-state checkpoint: post-mortem meshing/eval without a re-run.
+    system.save_checkpoint(os.path.join(args.save_dir, "ckpt_final.npz"))
     # Mesh last: a meshing fault must not lose the run's results.json.
     t0 = time.time()
     save_mesh(atlas.params, atlas.global_bound(),
@@ -336,6 +386,14 @@ def main():
               resolution=args.mesh_resolution, feature_dtype="bfloat16")
     mesh_time = time.time() - t0
     print(f"mesh {args.mesh_resolution}^3 {mesh_time:.1f}s", flush=True)
+    if mesh_time > 60:
+        # Prewarm miss diagnostics: a warm second evaluation separates
+        # recompile (first slow, second fast) from slow execution.
+        from miso_tpu.utils.sdf import cast_feature_storage, extract_fields
+        t0 = time.time()
+        extract_fields(cast_feature_storage(atlas.params),
+                       atlas.global_bound(), args.mesh_resolution)
+        print(f"mesh re-eval {time.time()-t0:.1f}s", flush=True)
     res_path = os.path.join(args.save_dir, "results.json")
     with open(res_path) as f:
         res = json.load(f)

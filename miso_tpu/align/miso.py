@@ -203,6 +203,9 @@ def _sdf_pair_scalar(params, src, dst, coords_from, valid_from, align_loss,
         stability_thresh, gm_scale_sdf, key, subsample_points)
 
 
+_VMAPPED_PAIR_LOSS_CACHE: Dict = {}
+
+
 def make_vmapped_pair_loss(kind: str, level: Optional[int] = None,
                            align_weight=3000.0, align_loss="L2",
                            use_bound=True, stability_thresh=0.0,
@@ -212,7 +215,14 @@ def make_vmapped_pair_loss(kind: str, level: Optional[int] = None,
     coords (Np, P, 3), valid (Np, P, 1)) -> {name: scalar}.
 
     Plugs into generic_align_multiple_submaps(batched_loss=True).
+    Cached by kwargs so repeated align calls (and prewarm runs) reuse
+    one function identity -- the solve jit is keyed on it.
     """
+    cache_key = (kind, level, align_weight, align_loss, use_bound,
+                 stability_thresh, trunc_factor, gm_scale_sdf,
+                 subsample_points)
+    if cache_key in _VMAPPED_PAIR_LOSS_CACHE:
+        return _VMAPPED_PAIR_LOSS_CACHE[cache_key]
     name = (f"align_latent_level{level}" if kind == "latent" else
             f"align_sdf_{align_loss}")
 
@@ -232,6 +242,7 @@ def make_vmapped_pair_loss(kind: str, level: Optional[int] = None,
         losses = jax.vmap(one)(src_ids, dst_ids, coords, valid, keys)
         return {name: jnp.sum(losses) * align_weight}
 
+    _VMAPPED_PAIR_LOSS_CACHE[cache_key] = batched
     return batched
 
 
@@ -244,6 +255,87 @@ def atlas_pose_trust_region_loss(params: GridAtlasParams, thresh_rad,
         "trust_region_R": weight * jnp.sum(jax.nn.relu(rot_norm - thresh_rad)),
         "trust_region_t": weight * jnp.sum(jax.nn.relu(tr_norm - thresh_m)),
     }
+
+
+_ALIGN_SOLVE_CACHE: Dict = {}
+
+
+def _make_align_step_solve(pair_loss_fn, batched_loss, submap_pairs, lr,
+                           rel_change_thresh, pose_reg_weight,
+                           pose_thresh_rad, pose_thresh_m):
+    """Build (and cache) the jitted per-iteration step and the scanned
+    whole-alignment solve.
+
+    Cached by every closed-over constant: a fresh jax.jit wrapper per
+    align call would RECOMPILE the solve every call -- in an aged SLAM
+    process big cache-miss compiles run ~10x slower (CLAUDE.md rule 7),
+    which made the demo's 2-submap align stage cost 691 s.  With the
+    cache (+ cached vmapped pair losses and static precompute shapes), a
+    prewarm run on a throwaway atlas at init compiles everything once.
+    """
+    cache_key = (pair_loss_fn, batched_loss, submap_pairs, lr,
+                 rel_change_thresh, pose_reg_weight, pose_thresh_rad,
+                 pose_thresh_m)
+    if cache_key in _ALIGN_SOLVE_CACHE:
+        return _ALIGN_SOLVE_CACHE[cache_key]
+
+    def step(pose, opt_state, full_params, ctx, mask_, key):
+        def objective(pose):
+            p = full_params.replace(sub_rot_corr=pose[0],
+                                    sub_trans_corr=pose[1])
+            loss_dict = {}
+            if batched_loss:
+                loss_dict.update(pair_loss_fn(p, key, ctx))
+            else:
+                keys = jax.random.split(key, max(len(submap_pairs), 1))
+                for k, (s, d) in enumerate(submap_pairs):
+                    if ctx is not None:
+                        loss_dict.update(pair_loss_fn(p, s, d, keys[k], ctx))
+                    else:
+                        loss_dict.update(pair_loss_fn(p, s, d, keys[k]))
+            if pose_reg_weight > 0:
+                loss_dict.update(atlas_pose_trust_region_loss(
+                    p, pose_thresh_rad, pose_thresh_m, pose_reg_weight))
+            tl = total_loss(loss_dict)
+            return tl, loss_dict
+
+        (tl, loss_dict), grads = jax.value_and_grad(
+            objective, has_aux=True)(pose)
+        bad = jnp.logical_not(jnp.isfinite(tl))
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        eff = jax.tree_util.tree_map(
+            lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
+        new_pose, new_opt = masked_adam_update(grads, opt_state, pose, eff,
+                                               lr=lr)
+        return new_pose, new_opt, tl
+
+    def solve(pose, opt_state, full_params, ctx, mask_, keys):
+        def body(carry, xs):
+            k, it = xs
+            pose, opt_state, stopped = carry
+            new_pose, new_opt, tl = step(pose, opt_state, full_params,
+                                         ctx, mask_, k)
+            live = jnp.logical_not(stopped)
+            pose_next = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(live, n, o), new_pose, pose)
+            opt_next = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(live, n, o), new_opt, opt_state)
+            rel = relative_param_change(pose_next, pose)
+            # The loop path's first check compares iterations 0 and 1
+            # (prev=None at it 0); gate on it >= 1 for exact parity.
+            stopped = jnp.logical_or(stopped, jnp.logical_and(
+                jnp.logical_and(live, it >= 1), rel < rel_change_thresh))
+            return (pose_next, opt_next, stopped), tl
+
+        (pose, opt_state, _), tls = jax.lax.scan(
+            body, (pose, opt_state, jnp.asarray(False)),
+            (keys, jnp.arange(keys.shape[0])))
+        return pose, opt_state, tls
+
+    built = (jax.jit(step, donate_argnums=(1,)),
+             jax.jit(solve, donate_argnums=(1,)))
+    _ALIGN_SOLVE_CACHE[cache_key] = built
+    return built
 
 
 def generic_align_multiple_submaps(
@@ -296,31 +388,11 @@ def generic_align_multiple_submaps(
     pose_mask = (row_mask, row_mask)
     opt_state = masked_adam_init(pose0)
 
-    def step(pose, opt_state, full_params, ctx, mask_, key):
-        def objective(pose):
-            p = full_params.replace(sub_rot_corr=pose[0], sub_trans_corr=pose[1])
-            loss_dict = {}
-            if batched_loss:
-                loss_dict.update(pair_loss_fn(p, key, ctx))
-            else:
-                keys = jax.random.split(key, max(len(submap_pairs), 1))
-                for k, (s, d) in enumerate(submap_pairs):
-                    if ctx is not None:
-                        loss_dict.update(pair_loss_fn(p, s, d, keys[k], ctx))
-                    else:
-                        loss_dict.update(pair_loss_fn(p, s, d, keys[k]))
-            if pose_reg_weight > 0:
-                loss_dict.update(atlas_pose_trust_region_loss(
-                    p, pose_thresh_rad, pose_thresh_m, pose_reg_weight))
-            tl = total_loss(loss_dict)
-            return tl, loss_dict
-
-        (tl, loss_dict), grads = jax.value_and_grad(objective, has_aux=True)(pose)
-        bad = jnp.logical_not(jnp.isfinite(tl))
-        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
-        eff = jax.tree_util.tree_map(lambda m: m * jnp.where(bad, 0.0, 1.0), mask_)
-        new_pose, new_opt = masked_adam_update(grads, opt_state, pose, eff, lr=lr)
-        return new_pose, new_opt, tl
+    step, solve = _make_align_step_solve(
+        pair_loss_fn, batched_loss,
+        tuple(submap_pairs) if submap_pairs is not None else None,
+        float(lr), float(rel_change_thresh), float(pose_reg_weight),
+        float(pose_thresh_rad), float(pose_thresh_m))
 
     pose = pose0
     key = jax.random.PRNGKey(seed)
@@ -337,35 +409,10 @@ def generic_align_multiple_submaps(
             subs.append(sub)
         keys = jnp.stack(subs)
 
-        def solve(pose, opt_state, full_params, ctx, mask_, keys):
-            def body(carry, xs):
-                k, it = xs
-                pose, opt_state, stopped = carry
-                new_pose, new_opt, tl = step(pose, opt_state, full_params,
-                                             ctx, mask_, k)
-                live = jnp.logical_not(stopped)
-                pose_next = jax.tree_util.tree_map(
-                    lambda n, o: jnp.where(live, n, o), new_pose, pose)
-                opt_next = jax.tree_util.tree_map(
-                    lambda n, o: jnp.where(live, n, o), new_opt, opt_state)
-                rel = relative_param_change(pose_next, pose)
-                # The loop path's first check compares iterations 0 and 1
-                # (prev=None at it 0); gate on it >= 1 for exact parity.
-                stopped = jnp.logical_or(stopped, jnp.logical_and(
-                    jnp.logical_and(live, it >= 1), rel < rel_change_thresh))
-                return (pose_next, opt_next, stopped), tl
-
-            (pose, opt_state, _), tls = jax.lax.scan(
-                body, (pose, opt_state, jnp.asarray(False)),
-                (keys, jnp.arange(keys.shape[0])))
-            return pose, opt_state, tls
-
-        solve = jax.jit(solve, donate_argnums=(1,))
         pose, opt_state, _ = solve(pose, opt_state, params, loss_ctx,
                                    pose_mask, keys)
         jax.block_until_ready(pose)
     else:
-        step = jax.jit(step, donate_argnums=(1,))
         prev = None
         for it in range(num_iters + 1):
             if save_iterations:

@@ -294,47 +294,69 @@ class SdfSequence(SubmapDataset):
         return self.R_noisy[kf_id], self.t_noisy[kf_id]
 
     def device_pool(self):
-        """Device-resident per-keyframe sample pools for the current
-        selection (consumed by trainer.make_train_scan_pool: the SLAM
-        mapping burst samples batches ON DEVICE instead of re-running
-        the numpy path below each burst).
+        """Full-sequence device-resident sample pools + current selection
+        (consumed by trainer.make_train_scan_pool / make_train_step_pool:
+        SLAM mapping bursts and Fuser refinement sample their batches ON
+        DEVICE instead of re-running the numpy path below).
 
-        Returns (pool dict of (K, n_max, ...) jnp arrays zero-padded to
-        the dataset-wide max frame rows, kfs (K,) int32, n_rows (K,)
-        int32 valid counts, frame_batchsize).  Per-kf uploads happen
-        once and are cached; a new selection only restacks on device.
+        Returns (pool dict of (num_kfs, n_max, ...) jnp arrays
+        zero-padded per row, sel (K,) int32 pool-row ids of the current
+        selection, n_rows (num_kfs,) int32 valid counts,
+        frame_batchsize).
+
+        The pool buffers are PREALLOCATED at full sequence size and each
+        keyframe's rows are written ONCE via a donated dynamic-update
+        (no copy, no per-selection restack).  Every consumer shares the
+        same buffers, so pool executable shapes are fixed for the whole
+        run -- a varying pool shape would mean aged-process recompiles
+        (CLAUDE.md rule 7).  Memory: num_kfs * n_max * 6 fields * 4 B
+        (~430 MB for 300 60k-row frames).
         """
+        import jax
         import jax.numpy as jnp
+        from functools import partial
+
+        global _jit_pool_write
+        if "_jit_pool_write" not in globals():
+            @partial(jax.jit, donate_argnums=(0,))
+            def _jit_pool_write(buf, kf, rows):
+                return jax.lax.dynamic_update_index_in_dim(buf, rows, kf, 0)
 
         kfs = self._selected if self._selected is not None \
             else list(range(self.num_kfs))
-        if not hasattr(self, "_dev_frames"):
-            self._dev_frames = {}
-            self._pool_nmax = max(f["points_frame"].shape[0]
-                                  for f in self.frames)
-            self._pool_sel = None
         names = (("coords_frame", "points_frame"), ("sdf", "sdf"),
                  ("sdf_valid", "valid"), ("sdf_signs", "signs"))
+        if not hasattr(self, "_pool"):
+            self._pool_nmax = max(f["points_frame"].shape[0]
+                                  for f in self.frames)
+            self._pool = {
+                out: jnp.zeros((self.num_kfs, self._pool_nmax)
+                               + self.frames[0][src].shape[1:], jnp.float32)
+                for out, src in names}
+            self._pool_nrows_np = np.zeros((self.num_kfs,), np.int32)
+            self._pool_nrows = jnp.asarray(self._pool_nrows_np)
+            self._pool_loaded = set()
+            self._pool_sel = None
         for kf in kfs:
-            if kf not in self._dev_frames:
+            if kf not in self._pool_loaded:
+                self._pool_loaded.add(kf)
                 fr = self.frames[kf]
                 n = fr["points_frame"].shape[0]
                 pad = self._pool_nmax - n
-                self._dev_frames[kf] = {
-                    out: jnp.asarray(np.pad(fr[src], [(0, pad)]
-                                            + [(0, 0)] * (fr[src].ndim - 1)))
-                    for out, src in names}
+                kf_j = jnp.int32(kf)
+                for out, src in names:
+                    rows = jnp.asarray(np.pad(
+                        fr[src], [(0, pad)] + [(0, 0)] * (fr[src].ndim - 1)))
+                    self._pool[out] = _jit_pool_write(self._pool[out],
+                                                      kf_j, rows)
+                self._pool_nrows_np[kf] = n
+                self._pool_nrows = _jit_pool_write(
+                    self._pool_nrows, kf_j, jnp.int32(n))
         sel = tuple(kfs)
         if self._pool_sel != sel:
             self._pool_sel = sel
-            self._pool = {out: jnp.stack([self._dev_frames[kf][out]
-                                          for kf in kfs])
-                          for out, _ in names}
-            self._pool_kfs = jnp.asarray(np.asarray(sel, np.int32))
-            self._pool_nrows = jnp.asarray(np.asarray(
-                [self.frames[kf]["points_frame"].shape[0] for kf in kfs],
-                np.int32))
-        return self._pool, self._pool_kfs, self._pool_nrows, \
+            self._pool_sel_dev = jnp.asarray(np.asarray(sel, np.int32))
+        return self._pool, self._pool_sel_dev, self._pool_nrows, \
             self.frame_batchsize
 
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:

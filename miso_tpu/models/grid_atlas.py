@@ -173,6 +173,14 @@ class GridAtlasParams(struct.PyTreeNode):
     cell_sizes: Tuple[float, ...] = struct.field(pytree_node=False, default=())
     pos_invariant: bool = struct.field(pytree_node=False, default=True)
     decoder_fixed: bool = struct.field(pytree_node=False, default=True)
+    # Slot-loop shape for atlas-wide queries: "scan" keeps the GRADIENT
+    # program flat in capacity (the unrolled backward compiled O(S):
+    # 368 s for the S=3 fusion step on the TPU compiler); "unroll" is
+    # for forward-only consumers (meshing) where nesting the slot scan
+    # inside the lattice scan blew the TPU compile up to ~350 s while
+    # the unrolled forward compiles in ~35 s.  utils.sdf.extract_fields
+    # switches to "unroll" automatically.
+    slot_loop: str = struct.field(pytree_node=False, default="scan")
 
     @property
     def num_submaps(self) -> int:
@@ -202,7 +210,20 @@ class GridAtlasParams(struct.PyTreeNode):
         (replaces per-kf accessors grid_atlas.py:316-328).
 
         Returns (S*K, 3, 3), (S*K, 3) indexed by global kf id.
+
+        Host (eager) callers -- submap spawn, trajectory eval,
+        global_bound -- are routed through ONE module jit: evaluated
+        eagerly this is ~15 one-op dispatches whose executables compile
+        lazily, and a first-time eager compile in an aged SLAM process
+        costs seconds EACH (85 s of the first submap spawn went to
+        exactly this chain; CLAUDE.md rule 7).
         """
+        if not isinstance(self.Rws, jax.core.Tracer):
+            global _jit_kf_poses_world
+            if "_jit_kf_poses_world" not in globals():
+                _jit_kf_poses_world = jax.jit(
+                    lambda p: p.updated_kf_poses_in_world())
+            return _jit_kf_poses_world(self)
         R_sk, t_sk = self.updated_kf_poses_in_submap()
         R_ws, t_ws = self.updated_submap_poses()
         sub = self.kf_to_submap
@@ -227,55 +248,68 @@ class GridAtlasParams(struct.PyTreeNode):
         applied by __call__.  Points outside every submap get zero
         features (reference sets sum_weights==0 -> 1).
 
-        Why a Python loop and not vmap: the per-slot interpolation is a
-        row gather from the slot's (cells, F) table.  vmapping the
-        F-folded flat-index gather (grid_interpolate_T) compiled 180 s+
-        and ran 5x slower per gathered element (A/B on v5e at the quad
-        fuse shapes, 2^19 pts x 16 slots: 7.2 s vmapped-T vs ~0.5 s
-        unrolled row gathers; one slot: 154.5 ms T vs 31.6 ms rows).
-        The unrolled form keeps each slot's gather in the fast row
-        layout and XLA schedules the 2S gathers back-to-back.
+        Slot-loop shape: lax.scan over the stacked slot axis, not a
+        Python unroll and not vmap.  Each scan iteration is one slot's
+        row gather in the fast layout (vmapping the F-folded flat-index
+        gather compiled 180 s+ and ran 5x slower per element on v5e);
+        the scan keeps the GRADIENT program size flat in capacity --
+        the unrolled form's backward compiled O(S): 20.3 s at S=10 vs
+        5.9 s scanned (CPU XLA; the TPU compiler amplified this to 368 s
+        for the S=3 fusion step).
         """
-        R_ws, t_ws = self.updated_submap_poses()
-        S = self.Rws.shape[0]
-        acc = None
-        sum_w = None
-        for s in range(S):
-            xs = se3.transform_points_from(x_world, R_ws[s], t_ws[s])
-            mask = se3.coords_in_bound(xs, self.bounds[s])[:, 0] \
-                * self.active[s]                                  # (N,)
-            f = _interp_levels_sized(
-                tuple(lv[s] for lv in self.features), xs, self.bounds[s],
-                tuple(sz[s] for sz in self.sizes), self.ignore_level,
-                self.pad_spatial, self.fdim)                      # (N, F)
-            f = mask[:, None] * f
-            acc = f if acc is None else acc + f
-            sum_w = mask if sum_w is None else sum_w + mask
-        sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
-        return acc / sum_w[:, None]
+        mask, f = self._scan_slots(self.features, self.ignore_level,
+                                   self.fdim, x_world)
+        return f
 
     def query_stability(self, x_world: jnp.ndarray) -> jnp.ndarray:
         """Masked average of per-submap stability (mu) fields -- the
         atlas-level observedness signal (used e.g. by
-        utils.sdf.observed_sdf_query for masked meshing).  Same unrolled
+        utils.sdf.observed_sdf_query for masked meshing).  Same scanned
         row-gather accumulation as query_feature."""
+        mask, mu = self._scan_slots(self.stability, None, 1, x_world)
+        return mu
+
+    def _scan_slots(self, tables, ignore_level, fdim, x_world):
+        """Masked-average accumulation over submap slots: ONE lax.scan
+        (slot_loop="scan") or a Python unroll (slot_loop="unroll"; see
+        the slot_loop field for when each wins).
+
+        Returns (sum_weights (N,), averaged values (N, F))."""
         R_ws, t_ws = self.updated_submap_poses()
-        S = self.Rws.shape[0]
-        acc = None
-        sum_w = None
-        for s in range(S):
-            xs = se3.transform_points_from(x_world, R_ws[s], t_ws[s])
-            mask = se3.coords_in_bound(xs, self.bounds[s])[:, 0] \
-                * self.active[s]
-            mu = _interp_levels_sized(
-                tuple(lv[s] for lv in self.stability), xs, self.bounds[s],
-                tuple(sz[s] for sz in self.sizes), None,
-                self.pad_spatial, 1)                              # (N, L)
-            mu = mask[:, None] * mu
-            acc = mu if acc is None else acc + mu
-            sum_w = mask if sum_w is None else sum_w + mask
+        N = x_world.shape[0]
+        F = fdim * self.num_levels
+
+        def slot_term(feats, Rs, ts, bnd, szs, act):
+            xs = se3.transform_points_from(x_world, Rs, ts)
+            m = se3.coords_in_bound(xs, bnd)[:, 0] * act          # (N,)
+            f = _interp_levels_sized(feats, xs, bnd, szs, ignore_level,
+                                     self.pad_spatial, fdim)      # (N, F)
+            return m, m[:, None] * f
+
+        if self.slot_loop == "unroll":
+            acc = jnp.zeros((N, F), x_world.dtype)
+            sum_w = jnp.zeros((N,), x_world.dtype)
+            for s in range(self.Rws.shape[0]):
+                m, mf = slot_term(tuple(lv[s] for lv in tables),
+                                  R_ws[s], t_ws[s], self.bounds[s],
+                                  tuple(sz[s] for sz in self.sizes),
+                                  self.active[s])
+                acc = acc + mf
+                sum_w = sum_w + m
+        else:
+            def body(carry, slot):
+                acc, sw = carry
+                feats, Rs, ts, bnd, szs, act = slot
+                m, mf = slot_term(feats, Rs, ts, bnd, szs, act)
+                return (acc + mf, sw + m), None
+
+            init = (jnp.zeros((N, F), x_world.dtype),
+                    jnp.zeros((N,), x_world.dtype))
+            slots = (tables, R_ws, t_ws, self.bounds, self.sizes,
+                     self.active)
+            (acc, sum_w), _ = jax.lax.scan(body, init, slots)
         sum_w = jnp.where(sum_w == 0, 1.0, sum_w)
-        return acc / sum_w[:, None]
+        return sum_w, acc / sum_w[:, None]
 
     def __call__(self, x_world: jnp.ndarray) -> jnp.ndarray:
         feats = self.query_feature(x_world)
@@ -406,9 +440,21 @@ class GridAtlasParams(struct.PyTreeNode):
         does 60% extra work); fuse() trims, optimizes, and scatters
         back.  Valid because submaps fill slots in order and global kf
         ids are sequential, so every live kf id < S_live * K.
+
+        The result NEVER aliases this pytree's buffers: consumers donate
+        the trimmed pytree (the pooled fuse step), and jax full-range
+        slices (and the untouched decoder / ignore_level leaves) return
+        the SAME buffer -- donating an aliased leaf deletes storage the
+        atlas still references ("Array has been deleted" at the next
+        atlas read).  The whole sliced tree is therefore passed through
+        one jitted copy (one dispatch, one executable).
         """
         K = self.max_kfs_per_submap
-        return self.replace(
+        global _jit_tree_copy
+        if "_jit_tree_copy" not in globals():
+            _jit_tree_copy = jax.jit(
+                lambda t: jax.tree_util.tree_map(lambda a: a + 0, t))
+        return _jit_tree_copy(self.replace(
             features=tuple(f[:S_live] for f in self.features),
             stability=tuple(st[:S_live] for st in self.stability),
             sub_rot_corr=self.sub_rot_corr[:S_live],
@@ -422,7 +468,7 @@ class GridAtlasParams(struct.PyTreeNode):
             active=self.active[:S_live],
             kf_to_submap=self.kf_to_submap[:S_live * K],
             kf_to_local=self.kf_to_local[:S_live * K],
-        )
+        ))
 
     def scatter_trimmed(self, t: "GridAtlasParams") -> "GridAtlasParams":
         """Write a :meth:`trim`-derived params back into this
@@ -820,47 +866,89 @@ class GridAtlas:
         return float(jnp.mean(mask)) > overlap_thresh
 
     def precompute_coordinates_for_alignment(self, norm_thresh=1e-5,
-                                             max_points: Optional[int] = None):
+                                             max_points: Optional[int] = None,
+                                             seed: int = 0):
         """Per (submap, level): grid-vertex coords whose multi-level
         feature norm exceeds the threshold (grid_atlas.py:565-587).
 
         Returns dict[(s, level)] -> (coords (P, 3), valid (P, 1)) with P
-        padded to a fixed per-level maximum so alignment batches have
+        padded to a fixed per-level size so alignment batches have
         static shapes.
+
+        With ``max_points`` set (the SLAM/Fuser path), P is ALWAYS
+        min(max_points, level vertex count) -- a shape computable
+        without looking at the data, so alignment executables can be
+        prewarmed and never recompile across runs -- and the whole
+        select-and-pad runs ON DEVICE (one jitted top-k per level
+        shape): the previous host path pulled every vertex's feature to
+        the host (~400 MB D2H per fine level at quad scale, ~130 s of
+        the align stage).
         """
         out = {}
         p = self.params
+        if max_points is None:
+            # Exact-shape host path (small scenes / tests): P per level
+            # = max over submaps of the valid-vertex count.
+            for level in range(self.num_levels):
+                per_submap = []
+                for s in range(self.num_submaps):
+                    shape = self._submap_shapes[s][level]
+                    verts = interp.vertex_positions(shape, p.bounds[s])
+                    feat = self.get_submap(s).query_feature(verts)
+                    norm = np.asarray(jnp.linalg.norm(feat, axis=1))
+                    per_submap.append(np.asarray(verts)[norm > norm_thresh])
+                P = max(max((len(c) for c in per_submap), default=0), 1)
+                for s, coords in enumerate(per_submap):
+                    n = len(coords)
+                    if n == 0:
+                        padded = np.zeros((P, 3), np.float32)
+                        valid = np.zeros((P, 1), np.float32)
+                    else:
+                        reps = int(np.ceil(P / n))
+                        padded = np.tile(coords, (reps, 1))[:P]
+                        valid = np.zeros((P, 1), np.float32)
+                        valid[:n] = 1.0
+                    out[(s, level)] = (jnp.asarray(padded.astype(np.float32)),
+                                       jnp.asarray(valid))
+            self._coords_for_alignment = out
+            return out
+
+        global _jit_align_coords
+        if "_jit_align_coords" not in globals():
+            from functools import partial
+
+            @partial(jax.jit, static_argnames=("shape", "P", "thresh"))
+            def _jit_align_coords(params, s, key, shape, P, thresh):
+                verts = interp.vertex_positions(shape, params.bounds[s])
+                feat = params.query_feature_submap(s, verts)
+                norm = jnp.linalg.norm(feat, axis=1)
+                ok = (norm > thresh).astype(jnp.float32)
+                # top-P by (valid, random) -> a random P-subset of the
+                # valid vertices, padded with invalid rows when fewer.
+                score = ok * (1.0 + jax.random.uniform(key, norm.shape))
+                if verts.shape[0] < P:  # smaller submap in a mixed atlas
+                    pad = P - verts.shape[0]
+                    verts = jnp.concatenate(
+                        [verts, jnp.zeros((pad, verts.shape[1]),
+                                          verts.dtype)])
+                    score = jnp.concatenate(
+                        [score, jnp.zeros((pad,), score.dtype)])
+                _, idx = jax.lax.top_k(score, P)
+                return verts[idx], (score[idx] >= 1.0)[:, None].astype(
+                    jnp.float32)
+
+        key = jax.random.PRNGKey(seed)
         for level in range(self.num_levels):
-            per_submap = []
+            # One P per level (pair contexts stack submaps), independent
+            # of the data: min(cap, largest submap's vertex count).
+            P = max(min(max_points, max(
+                int(np.prod(self._submap_shapes[s][level]))
+                for s in range(self.num_submaps))), 1)
             for s in range(self.num_submaps):
-                shape = self._submap_shapes[s][level]
-                verts = interp.vertex_positions(shape, p.bounds[s])
-                grid = self.get_submap(s)
-                feat = grid.query_feature(verts)
-                norm = np.asarray(jnp.linalg.norm(feat, axis=1))
-                coords = np.asarray(verts)[norm > norm_thresh]
-                per_submap.append(coords)
-            P = max((len(c) for c in per_submap), default=0)
-            P = max(P, 1)
-            if max_points is not None:
-                P = min(P, max_points)
-            for s, coords in enumerate(per_submap):
-                n = len(coords)
-                if n == 0:
-                    padded = np.zeros((P, 3), np.float32)
-                    valid = np.zeros((P, 1), np.float32)
-                elif n >= P:
-                    sel = np.random.default_rng(0).choice(n, P, replace=False) \
-                        if n > P else np.arange(P)
-                    padded = coords[sel]
-                    valid = np.ones((P, 1), np.float32)
-                else:
-                    reps = int(np.ceil(P / n))
-                    padded = np.tile(coords, (reps, 1))[:P]
-                    valid = np.zeros((P, 1), np.float32)
-                    valid[:n] = 1.0
-                out[(s, level)] = (jnp.asarray(padded.astype(np.float32)),
-                                   jnp.asarray(valid))
+                shape = tuple(self._submap_shapes[s][level])
+                key, sub = jax.random.split(key)
+                out[(s, level)] = _jit_align_coords(
+                    p, jnp.int32(s), sub, shape, P, float(norm_thresh))
         self._coords_for_alignment = out
         return out
 

@@ -49,50 +49,12 @@ class Fuser:
             max_align_points=c.get("max_points", 32768),
         )
 
-    def fuse(self, feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
-             iterations=10, seed=0, max_points_per_iter=2 ** 19):
-        """Joint refinement with per-group LRs (fuser.py:57-120).
+    def _fuse_loss(self):
+        from miso_tpu.losses.miso import make_loss
 
-        The base lr of the masked Adam is 1.0 and each group's rate is
-        its mask multiplier, reproducing the reference's param groups.
-
-        Dispatch shape: one jitted train STEP per iteration, not a
-        scanned burst.  The fusion step is compute-bound (S x N row
-        gathers / scatter-adds over the stacked storage, seconds per
-        step at production scale), so scan's dispatch amortization buys
-        nothing here -- and compiling a scan whose carry is the
-        multi-GB stacked atlas hard-crashed the TPU worker at
-        capacity 16 (isolated in repro: the identical single step
-        compiles and runs fine; the k=8 scan kills the worker).
-        Mapping/tracking keep their scanned bursts: their grids are
-        per-submap and their steps are dispatch-bound.
-
-        Storage is trimmed to the live submap slots for the whole
-        refinement (capacity 16 / 10 live = 60% dead gather work) and
-        scattered back afterwards.
-
-        ``max_points_per_iter``: random row cap per iteration batch (a
-        full-sequence sample is frame_batchsize x num_kfs x augmentation
-        rows, ~2.6M on a 300-frame run).  To keep the HOST sampling cost
-        bounded too, each iteration first selects a random keyframe
-        subset of ceil(max_points_per_iter / frame_batchsize) kfs and
-        samples only those (full-sequence numpy sampling dominated fuse
-        wall-clock at 300 frames: ~15 s/iter host vs ~3 s device).
-        """
-        self.dataset.unselect_keyframes()
-        full = self.atlas.params
-        S_live = self.atlas.num_submaps
-        trimmed = S_live < full.Rws.shape[0]
-        params = full.trim(S_live) if trimmed else full
-        mask = grid_atlas_mask(params, features=feat_lr > 0, stability=feat_lr > 0,
-                               submap_pose=submap_pose_lr > 0,
-                               kf_pose=kf_pose_lr > 0,
-                               anchor_first_submap=False,
-                               feature_lr=feat_lr,
-                               submap_pose_lr=submap_pose_lr,
-                               kf_pose_lr=kf_pose_lr)
         c = self.cfg["mapping"]
-        loss_kwargs = dict(
+        return make_loss(
+            fusion_loss,
             loss_type=c.get("loss_type", "L1"),
             weight_sdf=c.get("weight_sdf", 1.0),
             weight_eik=c.get("weight_eik", 0.0),
@@ -102,49 +64,102 @@ class Fuser:
             grad_method=c.get("grad_method", "autograd"),
             eik_trunc_dist=c.get("eik_trunc_dist", 0.1),
         )
+
+    @staticmethod
+    def _fuse_mask(params, feat_lr, submap_pose_lr, kf_pose_lr):
+        return grid_atlas_mask(params, features=feat_lr > 0,
+                               stability=feat_lr > 0,
+                               submap_pose=submap_pose_lr > 0,
+                               kf_pose=kf_pose_lr > 0,
+                               anchor_first_submap=False,
+                               feature_lr=feat_lr,
+                               submap_pose_lr=submap_pose_lr,
+                               kf_pose_lr=kf_pose_lr)
+
+    def prewarm(self, expected_submaps: int = None,
+                max_points_per_iter: int = 2 ** 19):
+        """Compile the fuse-step executable NOW (fresh process).
+
+        A cache-miss compile of the fusion step in an AGED process runs
+        ~10x slower on this transport (CLAUDE.md rule 7; measured ~250 s
+        inside the 90-frame demo vs tens of seconds at init).  Call
+        right after the atlas reaches its final storage SHAPES (capacity
+        preallocation makes that the first add_submap) with the submap
+        count fuse() will see -- ``expected_submaps`` defaults to
+        capacity, i.e. an untrimmed fuse.  The throwaway execution is
+        speculated pre-first-D2H, so this costs only the compile.
+        """
+        from miso_tpu.train.trainer import make_train_step_pool
+
+        full = self.atlas.params
+        S = expected_submaps or full.Rws.shape[0]
+        # trim() never aliases the source (donation-safe) -- trim even
+        # at S == capacity so the donated throwaway can't delete the
+        # atlas's live buffers.
+        params = full.trim(S)
+        mask = self._fuse_mask(params, 1e-3, 1e-4, 1e-4)
+        pool, _, n_rows, _ = self.dataset.device_pool()
+        step = make_train_step_pool(self._fuse_loss(), "adam")
+        step(params, masked_adam_init(params), pool, n_rows,
+             jnp.int32(1), jax.random.PRNGKey(0), mask, jnp.float32(0.0),
+             int(max_points_per_iter))
+        self._prewarmed_slots = S
+
+    def fuse(self, feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
+             iterations=10, seed=0, max_points_per_iter=2 ** 19):
+        """Joint refinement with per-group LRs (fuser.py:57-120).
+
+        The base lr of the masked Adam is 1.0 and each group's rate is
+        its mask multiplier, reproducing the reference's param groups.
+
+        Dispatch shape: one jitted POOLED train step per iteration
+        (trainer.make_train_step_pool): each step draws its
+        ``max_points_per_iter`` rows uniformly over all keyframes' valid
+        pool rows ON DEVICE -- no host sampling, no per-iteration H2D
+        batch upload (the host path cost ~15 s/iter sampling at 300
+        frames, and per-iter uploads add journal debt on this
+        transport).  Not a scanned burst: compiling a scan whose carry
+        is the multi-GB stacked atlas hard-crashed the TPU worker at
+        capacity 16, and the step is compute-bound anyway.
+
+        Storage is trimmed to the live submap slots for the refinement
+        (capacity 16 / 10 live = 60% dead gather work) and scattered
+        back afterwards -- unless prewarm() compiled an executable for a
+        different slot count, in which case that count is reused to
+        avoid an aged-process recompile (CLAUDE.md rule 7).
+        """
+        self.dataset.unselect_keyframes()
+        full = self.atlas.params
+        S_live = self.atlas.num_submaps
+        S_run = max(S_live, getattr(self, "_prewarmed_slots", 0))
+        trimmed = S_run < full.Rws.shape[0]
+        # ALWAYS trim (even at capacity): the pooled step donates params,
+        # and trim() is the non-aliasing copy that protects the atlas's
+        # own buffers from donation.
+        params = full.trim(S_run)
+        mask = self._fuse_mask(params, feat_lr, submap_pose_lr, kf_pose_lr)
         opt_state = masked_adam_init(params)
 
-        from miso_tpu.losses.miso import make_loss
-        from miso_tpu.train.trainer import make_train_step
+        from miso_tpu.train.trainer import make_train_step_pool
 
-        loss_fn = make_loss(fusion_loss, **loss_kwargs)
-        step = make_train_step(loss_fn, "adam")
-        rng = np.random.default_rng(seed)
-
-        num_kfs = getattr(self.dataset, "num_kfs", None)
-        B = getattr(self.dataset, "frame_batchsize", None)
-        kf_cap = None
-        if max_points_per_iter and num_kfs and B:
-            kf_cap = max(1, -(-max_points_per_iter // int(B)))
-
-        def capped_sample():
-            if kf_cap and num_kfs > kf_cap:
-                sel = rng.choice(num_kfs, kf_cap, replace=False)
-                self.dataset.select_keyframes([int(x) for x in sel])
-            b = self.dataset.sample(rng)
-            n = len(next(iter(b.values())))
-            if max_points_per_iter and n > max_points_per_iter:
-                idx = rng.choice(n, max_points_per_iter, replace=False)
-                b = {k: np.asarray(v)[idx] for k, v in b.items()}
-            return {k: jnp.asarray(np.asarray(v)) for k, v in b.items()}
+        step = make_train_step_pool(self._fuse_loss(), "adam")
+        pool, _, n_rows, _ = self.dataset.device_pool()
+        k_live = jnp.int32(getattr(self.dataset, "num_kfs",
+                                   n_rows.shape[0]))
 
         key = jax.random.PRNGKey(seed)
         tl = None
-        t_sample = 0.0
-        t_step = 0.0
+        t0 = time.perf_counter()
         for _ in range(iterations):
-            t0 = time.perf_counter()
-            batch = capped_sample()
-            t_sample += time.perf_counter() - t0
             key, sub = jax.random.split(key)
-            t0 = time.perf_counter()
-            params, opt_state, tl, _ = step(params, opt_state, batch, sub,
-                                            mask, jnp.float32(1.0))
-            tl.block_until_ready()
-            t_step += time.perf_counter() - t0
-        self.dataset.unselect_keyframes()
+            params, opt_state, tl = step(params, opt_state, pool, n_rows,
+                                         k_live, sub, mask,
+                                         jnp.float32(1.0),
+                                         int(max_points_per_iter))
+        tl.block_until_ready()
+        t_step = time.perf_counter() - t0
         self.atlas.params = full.scatter_trimmed(params) if trimmed else params
-        self.last_fuse_info = {"sample_sec": t_sample, "step_sec": t_step,
+        self.last_fuse_info = {"step_sec": t_step,
                                "iterations": iterations,
                                "points_per_iter": max_points_per_iter,
                                "trimmed_slots": int(params.Rws.shape[0])}

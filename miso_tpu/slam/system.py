@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,27 @@ from miso_tpu.slam.mapper import Mapper
 from miso_tpu.slam.tracker import Tracker
 from miso_tpu.slam.visualizer import Visualizer
 from miso_tpu.utils.sdf import save_mesh
+
+
+def quantized_local_bound(world_bound, t_anchor) -> np.ndarray:
+    """World box translated to a submap frame with dyadic quantization.
+
+    (quantized center) +- (quantized half-extent), both exact multiples
+    of 2^-10 m, so extents -- and hence grid_shape_for_bound results --
+    are bit-identical for every anchor.  A raw float32 ``bound -
+    t_anchor`` perturbs extents by ~1e-6 and can cross a ceil boundary,
+    giving submaps DIFFERENT grid shapes: every shape-keyed executable
+    (tracking, mapping, alignment precompute) then recompiles per
+    submap at aged-process compile cost (measured (46,46,12) vs
+    (46,47,12) on the quad run).  Demos prewarming with a throwaway
+    atlas must build its bounds through this same function.
+    """
+    b = np.asarray(world_bound, np.float64)
+    q = 1.0 / 1024.0
+    e = np.round((b[:, 1] - b[:, 0]) / 2.0 / q) * q
+    c = np.round((b.mean(axis=1)
+                  - np.asarray(t_anchor, np.float64).reshape(3)) / q) * q
+    return np.stack([c - e, c + e], axis=1).astype(np.float32)
 
 
 class System:
@@ -117,9 +139,16 @@ class System:
                               np.float32)
         assert self.cfg["system"].get("submap_axis_aligned", False), \
             "submap_world_bound requires system.submap_axis_aligned"
-        b = np.asarray(wb, np.float32).copy()
-        b -= np.asarray(t_anchor, np.float32).reshape(3, 1)
-        return b
+        # Construct the translated box as (quantized center) +- (quantized
+        # half-extent), both exact multiples of 2^-10 m: a raw float32
+        # `bound - t_anchor` perturbs the extents by ~1e-6, which can
+        # cross a grid_shape_for_bound ceil boundary and give submaps
+        # DIFFERENT grid shapes -- every shape-keyed executable
+        # (tracking, mapping, alignment precompute) then recompiles per
+        # submap, at aged-process compile cost (measured (46,46,12) vs
+        # (46,47,12) on the quad run).  Dyadic values are float32-exact,
+        # so extents -- and shapes -- are bit-identical for every anchor.
+        return quantized_local_bound(wb, t_anchor)
 
     # -- lifecycle (system.py:58-96) ---------------------------------------
     def initialize_system(self, Rws=None, tws=None):
@@ -182,7 +211,17 @@ class System:
     def initialize_next_submap(self):
         """New submap anchored at the odometry-propagated world pose
         (system.py:125-163)."""
+        import time as _time
+
+        _marks = [("start", _time.perf_counter())]
+
+        def _mark(name, sync=None):
+            if sync is not None:
+                jax.block_until_ready(sync)
+            _marks.append((name, _time.perf_counter()))
+
         self._sync_submap_from_tracker_mapper()
+        _mark("sync_before", self.model.params.features)
         dst = self.current_kf_id() + 1
         src = dst - 1
         R_src, t_src = self.model.params.updated_kf_pose_in_world(src)
@@ -205,13 +244,22 @@ class System:
                                   num_poses=self.cfg["system"]["submap_size"])
             kf_id = self.model.add_kf()  # identity in new submap
         assert kf_id == dst
+        _mark("add_submap", self.model.params.features)
         self._fresh_tracker_mapper()
+        _mark("fresh_tm", self.tracker.grid.features)
         slots = self.max_replay_frames + 1
         self.mapper.mapping([self.current_kf_id()] * slots,
                             iterations=self.init_iters,
                             level_iterations=max(self.init_iters // 3, 1))
+        _mark("init_mapping", self.mapper.grid.features)
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
+        _mark("sync_after", self.model.params.features)
+        if self.profiler is not None:
+            parts = " ".join(f"{n}={1e3 * (t1 - t0):.0f}ms" for (_, t0), (n, t1)
+                             in zip(_marks, _marks[1:]))
+            print(f"[spawn submap {self.model.curr_submap_id}] {parts}",
+                  flush=True)
 
     # -- checkpoint / resume (beyond the reference, which cannot resume a
     # SLAM run mid-stream: SURVEY.md section 5) --------------------------------

@@ -148,75 +148,82 @@ def make_train_scan(loss_fn: Callable, optimizer: str = "adam",
 _POOL_SCAN_CACHE: Dict = {}
 
 
+def _guarded_masked_update(loss_fn, optimizer, model, opt_state, batch,
+                           key, mask, lr):
+    """Shared step core: value+grad, NaN guard, masked optimizer update."""
+    def objective(m):
+        d = loss_fn(m, batch, key)
+        return total_loss(d), d
+
+    (tl, _), grads = jax.value_and_grad(
+        objective, has_aux=True, allow_int=True)(model)
+    bad = jnp.logical_not(jnp.isfinite(tl))
+    guard = jnp.where(bad, 0.0, 1.0)
+    grads = jax.tree_util.tree_map(
+        lambda g: g if g.dtype == jax.dtypes.float0
+        else jnp.nan_to_num(g), grads)
+    eff = jax.tree_util.tree_map(lambda m_: m_ * guard, mask)
+    if optimizer == "adam":
+        return masked_adam_update(grads, opt_state, model, eff, lr=lr) + (tl,)
+    if optimizer == "sgd":
+        return masked_sgd_update(grads, opt_state, model, eff, lr=lr) + (tl,)
+    raise ValueError(f"Invalid optimizer: {optimizer}")
+
+
 def make_train_scan_pool(loss_fn: Callable, optimizer: str = "adam"):
-    """Scanned train burst that SAMPLES ITS BATCHES ON DEVICE.
+    """Scanned train burst that SAMPLES ITS BATCHES ON DEVICE from the
+    full-sequence resident pool.
 
-    scan_pool_fn(model, opt_state, pool, kfs, key, mask, lr, steps) ->
-    (model, opt_state, total_losses (steps,)).
+    scan_pool_fn(model, opt_state, pool, sel, n_rows, key, mask, lr,
+    steps, B) -> (model, opt_state, total_losses (steps,)).
 
-    ``pool``: dict of (K, n_max, ...) device-resident per-keyframe
-    sample pools (coords_frame, sdf, sdf_valid, sdf_signs), zero-padded
-    to the dataset-wide max row count; ``kfs``: (K,) int32 keyframe
-    ids; ``n_rows``: (K,) int32 valid rows per kf (padding rows are
-    never drawn); ``steps``/batch rows per kf ``B`` are static.  Each
-    scan iteration draws (K, B) row indices with jax.random and gathers
-    its batch from the pool inside the dispatch.
+    ``pool``: dict of (num_kfs, n_max, ...) device-resident sample
+    pools (coords_frame, sdf, sdf_valid, sdf_signs), zero-padded per
+    row (datasets.sequence.device_pool); ``sel``: (K,) int32 pool-row
+    ids (global keyframe ids) of the burst's keyframe selection;
+    ``n_rows``: (num_kfs,) int32 valid rows per kf (padding rows are
+    never drawn); ``steps``/rows per kf ``B`` are static.  Each scan
+    iteration draws (K, B) row indices with jax.random and row-gathers
+    its batch from the flat pool inside the dispatch.
 
     Why: the host path re-samples + re-stacks + re-uploads every burst
-    (measured ~150 ms/frame of the SLAM loop at quad scale -- numpy
-    fancy-indexing over ~60k-row frames plus the H2D hop).  With the
-    pools resident, per-frame host work drops to one small pool upload
-    when a keyframe first appears.  Statistically identical sampling
-    (uniform rows with replacement, like SubmapDataset.sample); the
-    random stream differs (jax PRNG instead of numpy), so training is
-    deterministic given the key but not bit-equal to the host path.
+    (measured ~150 ms/frame of the SLAM loop at quad scale).  With one
+    full-size pool, per-frame host work is one row write when a
+    keyframe first appears, and the executable's shapes are fixed for
+    the whole run (pool size = num_kfs regardless of selection).
+    Statistically identical sampling (uniform rows with replacement,
+    like SubmapDataset.sample); the random stream differs (jax PRNG),
+    so training is deterministic given the key but not bit-equal to
+    the host path.
     """
     cache_key = (loss_fn, optimizer)
     if cache_key in _POOL_SCAN_CACHE:
         return _POOL_SCAN_CACHE[cache_key]
 
-    def scan_pool_fn(model, opt_state, pool, kfs, n_rows, key, mask, lr,
+    def scan_pool_fn(model, opt_state, pool, sel, n_rows, key, mask, lr,
                      steps: int, B: int):
-        K = kfs.shape[0]
-        ids = jnp.repeat(kfs.astype(jnp.int32), B)
+        K = sel.shape[0]
+        sel = sel.astype(jnp.int32)
+        n_max = next(iter(pool.values())).shape[1]
+        flat = {name: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+                for name, a in pool.items()}
+        ids = jnp.repeat(sel, B)
         weights = jnp.ones((K * B, 1), jnp.float32)
+        nr_sel = n_rows[sel]                                        # (K,)
 
         def body(carry, _):
             model, opt_state, key = carry
             key, k_idx, sub = jax.random.split(key, 3)
             u = jax.random.uniform(k_idx, (K, B))
-            idx = jnp.floor(u * n_rows[:, None].astype(u.dtype)
+            idx = jnp.floor(u * nr_sel[:, None].astype(u.dtype)
                             ).astype(jnp.int32)
-
-            def take(a):
-                ix = idx.reshape(K, B, *(1,) * (a.ndim - 2))
-                g = jnp.take_along_axis(a, ix, axis=1)
-                return g.reshape(K * B, *a.shape[2:])
-
-            batch = {name: take(a) for name, a in pool.items()}
+            rows = (sel[:, None] * n_max + idx).reshape(-1)         # (K*B,)
+            batch = {name: jnp.take(a, rows, axis=0)
+                     for name, a in flat.items()}
             batch["sample_frame_ids"] = ids
             batch["weights"] = weights
-
-            def objective(m):
-                d = loss_fn(m, batch, sub)
-                return total_loss(d), d
-
-            (tl, _), grads = jax.value_and_grad(
-                objective, has_aux=True, allow_int=True)(model)
-            bad = jnp.logical_not(jnp.isfinite(tl))
-            guard = jnp.where(bad, 0.0, 1.0)
-            grads = jax.tree_util.tree_map(
-                lambda g: g if g.dtype == jax.dtypes.float0
-                else jnp.nan_to_num(g), grads)
-            eff = jax.tree_util.tree_map(lambda m_: m_ * guard, mask)
-            if optimizer == "adam":
-                new_m, new_o = masked_adam_update(grads, opt_state, model,
-                                                  eff, lr=lr)
-            elif optimizer == "sgd":
-                new_m, new_o = masked_sgd_update(grads, opt_state, model,
-                                                 eff, lr=lr)
-            else:
-                raise ValueError(f"Invalid optimizer: {optimizer}")
+            new_m, new_o, tl = _guarded_masked_update(
+                loss_fn, optimizer, model, opt_state, batch, sub, mask, lr)
             return (new_m, new_o, key), tl
 
         (model, opt_state, _), tls = jax.lax.scan(
@@ -226,6 +233,49 @@ def make_train_scan_pool(loss_fn: Callable, optimizer: str = "adam"):
     jitted = jax.jit(scan_pool_fn, donate_argnums=(1,),
                      static_argnums=(8, 9))
     _POOL_SCAN_CACHE[cache_key] = jitted
+    return jitted
+
+
+_POOL_STEP_CACHE: Dict = {}
+
+
+def make_train_step_pool(loss_fn: Callable, optimizer: str = "adam"):
+    """One jitted train step that samples its batch from the resident
+    pool: N rows drawn uniformly over (kf < k_live, row < n_rows[kf]).
+
+    step_pool_fn(params, opt_state, pool, n_rows, k_live, key, mask,
+    lr, N) -> (params, opt_state, total_loss).  ``k_live`` is a traced
+    int32 scalar (pool rows 0..k_live-1 are eligible), so one
+    executable serves any keyframe count -- the Fuser can be prewarmed
+    at init (CLAUDE.md rule 7) and reused as the run grows.  ``params``
+    and ``opt_state`` are donated (the stacked atlas storage would
+    otherwise be copied every step).
+    """
+    cache_key = (loss_fn, optimizer)
+    if cache_key in _POOL_STEP_CACHE:
+        return _POOL_STEP_CACHE[cache_key]
+
+    def step_pool_fn(params, opt_state, pool, n_rows, k_live, key, mask,
+                     lr, N: int):
+        k_kf, k_row, sub = jax.random.split(key, 3)
+        n_max = next(iter(pool.values())).shape[1]
+        u = jax.random.uniform(k_kf, (N,))
+        kf = jnp.floor(u * k_live.astype(u.dtype)).astype(jnp.int32)
+        nr = n_rows[kf].astype(jnp.float32)                          # (N,)
+        r = jnp.floor(jax.random.uniform(k_row, (N,)) * nr).astype(jnp.int32)
+        rows = kf * n_max + r
+        batch = {name: jnp.take(
+            a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]), rows,
+            axis=0) for name, a in pool.items()}
+        batch["sample_frame_ids"] = kf
+        batch["weights"] = jnp.ones((N, 1), jnp.float32)
+        new_p, new_o, tl = _guarded_masked_update(
+            loss_fn, optimizer, params, opt_state, batch, sub, mask, lr)
+        return new_p, new_o, tl
+
+    jitted = jax.jit(step_pool_fn, donate_argnums=(0, 1),
+                     static_argnums=(8,))
+    _POOL_STEP_CACHE[cache_key] = jitted
     return jitted
 
 

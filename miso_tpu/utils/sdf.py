@@ -100,6 +100,7 @@ def extract_fields(query_func: Callable, bound, resolution: int,
     assert n < 2 ** 31, (
         f"resolution {resolution} overflows int32 lattice indexing "
         f"(res^3 = {n}); use resolution <= 1290")
+    query_func = _forward_only_query(query_func)
     nb = -(-n // chunk)
     bucket = 1
     while bucket < min(nb, _MAX_SCAN_CHUNKS):
@@ -130,6 +131,58 @@ def extract_fields(query_func: Callable, bound, resolution: int,
     vals = np.concatenate([np.asarray(o) for o in outs]) if len(outs) > 1 \
         else np.asarray(outs[0])
     return vals[:n].reshape(resolution, resolution, resolution)
+
+
+def _forward_only_query(query_func):
+    """Switch an atlas query to the unrolled slot loop for meshing.
+
+    Nesting the gradient-friendly slot scan inside the lattice scan
+    blew the TPU compile up to ~350 s; the unrolled forward compiles in
+    ~35 s (see GridAtlasParams.slot_loop).  ObservedQuery wrappers are
+    unwrapped and rewrapped."""
+    if isinstance(query_func, ObservedQuery):
+        return query_func.replace(
+            model=_forward_only_query(query_func.model))
+    if getattr(query_func, "slot_loop", None) == "scan" \
+            and hasattr(query_func, "replace"):
+        return query_func.replace(slot_loop="unroll")
+    return query_func
+
+
+def prewarm_extract_fields(query_func, resolution: int, chunk: int = 2 ** 18,
+                           feature_dtype=None):
+    """Compile (and speculatively execute) the meshing executable NOW.
+
+    On the axon transport, a big cache-miss compile in an AGED process
+    runs ~11x slower than the same compile at init (CLAUDE.md rule 7;
+    measured 35 s fresh vs 390 s after a 5-frame SLAM run, and the
+    flagship demo paid 1080 s meshing a 300-frame run).  Call this right
+    after the model/atlas storage reaches its final SHAPES (for a
+    GridAtlas: after the first add_submap, since storage is
+    capacity-padded) and before the run loop: the jitted lattice
+    evaluator for (chunk, bucket(resolution)) compiles while the process
+    is fresh, and the final save_mesh / extract_fields call reuses it
+    from the jit cache.  Pre-first-D2H the one throwaway execution is
+    speculated (block is a no-op), so this costs only the compile.
+
+    ``feature_dtype``: prewarm the cast-storage variant save_mesh will
+    use (e.g. "bfloat16"); pass None for the raw-storage executable.
+    """
+    if feature_dtype is not None:
+        query_func = cast_feature_storage(query_func,
+                                          jnp.dtype(feature_dtype))
+    query_func = _forward_only_query(query_func)
+    n = resolution ** 3
+    nb = -(-n // chunk)
+    bucket = 1
+    while bucket < min(nb, _MAX_SCAN_CHUNKS):
+        bucket *= 2
+    leaves = jax.tree_util.tree_leaves(query_func)
+    if not (leaves and all(hasattr(l, "dtype") for l in leaves)):
+        return  # plain-closure path compiles per call; nothing to warm
+    f = _lattice_eval(chunk, bucket)
+    b = jnp.zeros((3, 2), jnp.float32).at[:, 1].set(1.0)
+    f(query_func, b, resolution, 0)
 
 
 def cast_feature_storage(query_func, dtype=jnp.bfloat16):

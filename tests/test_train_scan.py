@@ -108,23 +108,31 @@ def _tiny_seq(frame_samples=64, num_frames=3):
 def test_device_pool_shapes_and_padding():
     seq = _tiny_seq()
     seq.select_keyframes([0, 2])
-    pool, kfs, n_rows, B = seq.device_pool()
-    assert list(np.asarray(kfs)) == [0, 2]
+    pool, sel, n_rows, B = seq.device_pool()
+    assert list(np.asarray(sel)) == [0, 2]
     assert B == 32
     nmax = max(f["points_frame"].shape[0] for f in seq.frames)
     for name, a in pool.items():
-        assert a.shape[0] == 2 and a.shape[1] == nmax, (name, a.shape)
-    for i, kf in enumerate((0, 2)):
+        # preallocated at FULL sequence size regardless of selection
+        assert a.shape[0] == seq.num_kfs and a.shape[1] == nmax, \
+            (name, a.shape)
+    for kf in (0, 2):
         n = seq.frames[kf]["points_frame"].shape[0]
-        assert int(n_rows[i]) == n
+        assert int(n_rows[kf]) == n
+        got = np.asarray(pool["coords_frame"][kf, :n])
+        np.testing.assert_array_equal(
+            got, seq.frames[kf]["points_frame"][:n])
         # padding rows are zero
-        tail = np.asarray(pool["coords_frame"][i, n:])
+        tail = np.asarray(pool["coords_frame"][kf, n:])
         assert (tail == 0).all()
-    # selection change restacks
+    # kf 1 not selected yet: its rows are unloaded
+    assert int(n_rows[1]) == 0
+    # selection change only changes sel; kf 1 rows load on demand
     seq.select_keyframes([1])
-    pool2, kfs2, n_rows2, _ = seq.device_pool()
-    assert pool2["coords_frame"].shape[0] == 1
-    assert list(np.asarray(kfs2)) == [1]
+    pool2, sel2, n_rows2, _ = seq.device_pool()
+    assert pool2["coords_frame"].shape[0] == seq.num_kfs
+    assert list(np.asarray(sel2)) == [1]
+    assert int(n_rows2[1]) == seq.frames[1]["points_frame"].shape[0]
 
 
 def test_pool_scan_matches_host_step_on_singleton_pools():
@@ -149,19 +157,19 @@ def test_pool_scan_matches_host_step_on_singleton_pools():
                         finite_diff_eps=0.05, grad_method="finitediff",
                         eik_trunc_dist=0.3)
     seq.select_keyframes([0, 1, 2])
-    pool, kfs, n_rows, B = seq.device_pool()
-    ones = jnp.ones((3,), jnp.int32)
+    pool, sel, n_rows, B = seq.device_pool()
+    ones = jnp.ones((seq.num_kfs,), jnp.int32)
     mask = tree_full_mask(model)
     lr = jnp.float32(1e-2)
 
     burst = make_train_scan_pool(loss_fn, "adam")
-    m1, _, tls = burst(model, masked_adam_init(model), pool, kfs, ones,
+    m1, _, tls = burst(model, masked_adam_init(model), pool, sel, ones,
                        jax.random.PRNGKey(5), mask, lr, 1, int(B))
 
     # equivalent host batch: row 0 of each kf, repeated B times
     batch = {}
     for name, a in pool.items():
-        row0 = np.asarray(a[:, 0])
+        row0 = np.asarray(a[:3, 0])
         batch[name] = jnp.asarray(np.repeat(row0, B, axis=0))
     batch["sample_frame_ids"] = jnp.repeat(jnp.asarray([0, 1, 2],
                                                        jnp.int32), B)
@@ -170,6 +178,54 @@ def test_pool_scan_matches_host_step_on_singleton_pools():
     m2, _, tl, _ = step(model, masked_adam_init(model), batch,
                         jax.random.PRNGKey(7), mask, lr)
     np.testing.assert_allclose(float(tls[0]), float(tl), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m2)):
+        if hasattr(a, "dtype") and np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_pool_step_matches_host_step_when_single_kf_single_row():
+    """make_train_step_pool with k_live=1 and 1 valid row draws
+    (kf 0, row 0) for every sample, so it must equal make_train_step on
+    that row repeated N times."""
+    from miso_tpu.losses.miso import mapping_loss
+    from miso_tpu.train.optim import masked_adam_init
+    from miso_tpu.train.trainer import make_train_step, make_train_step_pool
+    from miso_tpu.models.base import tree_full_mask
+
+    seq = _tiny_seq()
+    cfg = dict(CFG_MODEL)
+    cfg["pose"] = {"optimize": True, "num_poses": 4}
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    for kf in range(3):
+        R, t = seq.true_kf_pose_in_world(kf)
+        model = model.set_initial_kf_pose(kf, jnp.asarray(R), jnp.asarray(t))
+    loss_fn = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0,
+                        weight_eik=0.0, weight_fs=0.2, trunc_dist=0.3,
+                        finite_diff_eps=0.05, grad_method="finitediff",
+                        eik_trunc_dist=0.3)
+    pool, _, _, _ = seq.device_pool()
+    ones = jnp.ones((seq.num_kfs,), jnp.int32)
+    mask = tree_full_mask(model)
+    lr = jnp.float32(1e-2)
+    N = 48
+
+    step_pool = make_train_step_pool(loss_fn, "adam")
+    # copies: the pooled step donates params/opt_state
+    m_in = jax.tree_util.tree_map(
+        lambda x: x + 0 if hasattr(x, "dtype") else x, model)
+    m1, _, tl1 = step_pool(m_in, masked_adam_init(model), pool, ones,
+                           jnp.int32(1), jax.random.PRNGKey(3), mask, lr, N)
+
+    batch = {name: jnp.asarray(np.repeat(np.asarray(a[0:1, 0]), N, axis=0))
+             for name, a in pool.items()}
+    batch["sample_frame_ids"] = jnp.zeros((N,), jnp.int32)
+    batch["weights"] = jnp.ones((N, 1), jnp.float32)
+    step = make_train_step(loss_fn, "adam")
+    m2, _, tl2, _ = step(model, masked_adam_init(model), batch,
+                         jax.random.PRNGKey(9), mask, lr)
+    np.testing.assert_allclose(float(tl1), float(tl2), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(m1),
                     jax.tree_util.tree_leaves(m2)):
         if hasattr(a, "dtype") and np.issubdtype(a.dtype, np.floating):
