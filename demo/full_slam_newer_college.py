@@ -85,6 +85,12 @@ def main():
                    help="preallocated submap slots (system.submap_capacity)")
     p.add_argument("--no_profile", action="store_true",
                    help="disable the per-frame stage profiler")
+    p.add_argument("--no_prewarm", action="store_true",
+                   help="skip the init-time mesh/fuse/align executable "
+                        "prewarms (diagnostics only)")
+    p.add_argument("--max_frames", type=int, default=None,
+                   help="stop the SLAM loop after this many frames "
+                        "(diagnostics only)")
     p.add_argument("--decoder_cache", default=None,
                    help="reuse the synthetic pretrained decoder across runs"
                         " ('' disables; default /tmp/ncd_synth_decoder_<scene>.npz)")
@@ -262,7 +268,7 @@ def main():
                                         "finetune_iters": 50,
                                         "skip_finetune": False,
                                         "learning_rate": 2e-3})
-    if args.synthetic:
+    if args.synthetic and not args.no_prewarm:
         pw_slots = min(expected_submaps,
                        cfg["system"].get("submap_capacity")
                        or expected_submaps)
@@ -290,7 +296,16 @@ def main():
             t_pw = time.time()
             pw_fuser.align()
             print(f"align prewarm {time.time()-t_pw:.1f}s", flush=True)
+            # The Fuser holds the throwaway atlas: drop BOTH, or its
+            # capacity-sized stacked storage (~GBs at capacity 16)
+            # stays resident in HBM for the whole run -- measured to
+            # slow every later dispatch (spawn init 8 s -> 143 s,
+            # frame median 0.9 s -> 2.4 s at 300-frame scale).
+            del pw_fuser
         del pw_atlas
+        import gc
+
+        gc.collect()
     fuser = None
     t_start = time.time()
     system = System(atlas, ds_track, ds_map, cfg,
@@ -300,7 +315,7 @@ def main():
         fuser._prewarmed_slots = min(
             expected_submaps, cfg["system"].get("submap_capacity")
             or expected_submaps)
-    system.run()
+    system.run(max_frames=args.max_frames)
     slam_time = time.time() - t_start
 
     def _ate():

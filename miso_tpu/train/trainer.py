@@ -12,6 +12,7 @@ mega-batch from the dataset (SURVEY.md section 2.7).
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -414,6 +415,11 @@ class Trainer:
             self.model, self.opt_state, tls = scan_fn(
                 self.model, self.opt_state, stacked, sub, self.current_mask(),
                 jnp.asarray(self.lr, jnp.float32))
+        if os.environ.get("MISO_DEBUG_BURST"):
+            jax.block_until_ready(jax.tree_util.tree_leaves(self.model)[0])
+            print(f"[burst] chunk k={k} epoch={epoch} "
+                  f"{1e3 * (time.perf_counter() - t0):.0f}ms "
+                  f"(sample {1e3 * self.sample_time:.0f}ms cum)", flush=True)
         if self.verbose:
             print(f"Train epochs {epoch}..{epoch + k - 1} (scanned) | "
                   f"train_loss={float(tls[-1]):.2e}")
@@ -433,6 +439,10 @@ class Trainer:
         self.model, self.opt_state, tl, loss_dict = self.step_fn(
             self.model, self.opt_state, batch, sub, self.current_mask(),
             jnp.asarray(self.lr, jnp.float32))
+        if os.environ.get("MISO_DEBUG_BURST"):
+            jax.block_until_ready(jax.tree_util.tree_leaves(self.model)[0])
+            print(f"[burst] single epoch={epoch} "
+                  f"{1e3 * (time.perf_counter() - t0):.0f}ms", flush=True)
         if self.verbose and epoch % 10 == 0:
             print(f"Train epoch {epoch} | train_loss={float(tl):.2e}")
         self.total_epoch_time += time.perf_counter() - t0
