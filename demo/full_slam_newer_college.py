@@ -15,6 +15,7 @@ clipped bounds starve the tracker of constraints (this was a 70 cm ATE
 before the cube bound).
 """
 import argparse
+import gc
 import json
 import os
 import sys
@@ -303,8 +304,6 @@ def main():
             # frame median 0.9 s -> 2.4 s at 300-frame scale).
             del pw_fuser
         del pw_atlas
-        import gc
-
         gc.collect()
     fuser = None
     t_start = time.time()
@@ -320,7 +319,10 @@ def main():
 
     def _ate():
         Rk, tk = atlas.params.updated_kf_poses_in_world()
-        n = ds_track.num_kfs
+        # Only frames actually run: with --max_frames truncating the
+        # loop, never-visited keyframes would contribute their INITIAL
+        # poses and corrupt the ATE (advisor round-3 finding).
+        n = min(ds_track.num_kfs, atlas.num_keyframes)
         Te = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
         Te[:, :3, :3] = np.asarray(Rk)[:n]
         Te[:, :3, 3] = np.asarray(tk)[:n]

@@ -128,6 +128,8 @@ class Fuser:
         different slot count, in which case that count is reused to
         avoid an aged-process recompile (CLAUDE.md rule 7).
         """
+        marks = {}
+        t_all = time.perf_counter()
         self.dataset.unselect_keyframes()
         full = self.atlas.params
         S_live = self.atlas.num_submaps
@@ -136,31 +138,51 @@ class Fuser:
         # ALWAYS trim (even at capacity): the pooled step donates params,
         # and trim() is the non-aliasing copy that protects the atlas's
         # own buffers from donation.
+        t0 = time.perf_counter()
         params = full.trim(S_run)
+        jax.block_until_ready(params.features)
+        marks["trim_sec"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         mask = self._fuse_mask(params, feat_lr, submap_pose_lr, kf_pose_lr)
         opt_state = masked_adam_init(params)
+        marks["mask_init_sec"] = time.perf_counter() - t0
 
         from miso_tpu.train.trainer import make_train_step_pool
 
+        t0 = time.perf_counter()
         step = make_train_step_pool(self._fuse_loss(), "adam")
         pool, _, n_rows, _ = self.dataset.device_pool()
         k_live = jnp.int32(getattr(self.dataset, "num_kfs",
                                    n_rows.shape[0]))
+        jax.block_until_ready(n_rows)
+        marks["pool_sec"] = time.perf_counter() - t0
 
         key = jax.random.PRNGKey(seed)
         tl = None
         t0 = time.perf_counter()
-        for _ in range(iterations):
+        for i in range(iterations):
             key, sub = jax.random.split(key)
             params, opt_state, tl = step(params, opt_state, pool, n_rows,
                                          k_live, sub, mask,
                                          jnp.float32(1.0),
                                          int(max_points_per_iter))
+            if i == 0:
+                # First-step wall time is the compile detector: a jit
+                # cache hit costs ms, an (aged-process) cache-miss
+                # compile costs tens of seconds.
+                tl.block_until_ready()
+                marks["step0_sec"] = time.perf_counter() - t0
+                t0 = time.perf_counter()
         tl.block_until_ready()
         t_step = time.perf_counter() - t0
+        t0 = time.perf_counter()
         self.atlas.params = full.scatter_trimmed(params) if trimmed else params
+        jax.block_until_ready(self.atlas.params.features)
+        marks["scatter_sec"] = time.perf_counter() - t0
         self.last_fuse_info = {"step_sec": t_step,
                                "iterations": iterations,
                                "points_per_iter": max_points_per_iter,
-                               "trimmed_slots": int(params.Rws.shape[0])}
+                               "trimmed_slots": int(params.Rws.shape[0]),
+                               "total_sec": time.perf_counter() - t_all,
+                               **marks}
         return float(tl)

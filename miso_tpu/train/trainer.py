@@ -415,15 +415,17 @@ class Trainer:
             self.model, self.opt_state, tls = scan_fn(
                 self.model, self.opt_state, stacked, sub, self.current_mask(),
                 jnp.asarray(self.lr, jnp.float32))
+        # Accumulate BEFORE the debug sync so timing semantics don't
+        # change under the flag (debug still prints synchronous time).
+        self.total_epoch_time += time.perf_counter() - t0
         if os.environ.get("MISO_DEBUG_BURST"):
             jax.block_until_ready(jax.tree_util.tree_leaves(self.model)[0])
             print(f"[burst] chunk k={k} epoch={epoch} "
-                  f"{1e3 * (time.perf_counter() - t0):.0f}ms "
+                  f"{1e3 * (time.perf_counter() - t0):.0f}ms synced "
                   f"(sample {1e3 * self.sample_time:.0f}ms cum)", flush=True)
         if self.verbose:
             print(f"Train epochs {epoch}..{epoch + k - 1} (scanned) | "
                   f"train_loss={float(tls[-1]):.2e}")
-        self.total_epoch_time += time.perf_counter() - t0
 
     def _next_batch(self):
         t0 = time.perf_counter()
@@ -439,13 +441,14 @@ class Trainer:
         self.model, self.opt_state, tl, loss_dict = self.step_fn(
             self.model, self.opt_state, batch, sub, self.current_mask(),
             jnp.asarray(self.lr, jnp.float32))
+        self.total_epoch_time += time.perf_counter() - t0
         if os.environ.get("MISO_DEBUG_BURST"):
             jax.block_until_ready(jax.tree_util.tree_leaves(self.model)[0])
             print(f"[burst] single epoch={epoch} "
-                  f"{1e3 * (time.perf_counter() - t0):.0f}ms", flush=True)
+                  f"{1e3 * (time.perf_counter() - t0):.0f}ms synced",
+                  flush=True)
         if self.verbose and epoch % 10 == 0:
             print(f"Train epoch {epoch} | train_loss={float(tl):.2e}")
-        self.total_epoch_time += time.perf_counter() - t0
         self._last_loss_dict = loss_dict
 
     # -- eval --------------------------------------------------------------

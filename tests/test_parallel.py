@@ -80,11 +80,17 @@ def test_graft_entry_compiles():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
-def test_pair_sharded_alignment_matches_single_device():
+@pytest.mark.parametrize("subsample_points", [None, 64])
+def test_pair_sharded_alignment_matches_single_device(subsample_points):
     """Alignment with the vmapped pair axis sharded over the 8-device
     mesh (pairs padded 3 -> 8 with inert rows, grads psum'd by XLA)
     produces the same pose updates as the unsharded path (SURVEY
-    section 2.10 pairwise-parallelism row; VERDICT r2 item 3)."""
+    section 2.10 pairwise-parallelism row; VERDICT r2 item 3).
+
+    With ``subsample_points`` set, the per-pair subsample keys are
+    derived from the pair identity (fold_in(src), fold_in(dst)), so
+    inert padding rows cannot shift real pairs' draws and the sharded
+    path stays bit-compatible (VERDICT r3 weak #6)."""
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_atlas_align import build_atlas
@@ -112,7 +118,8 @@ def test_pair_sharded_alignment_matches_single_device():
             mesh = make_mesh(8, axes=("data",))
             ctx = shard_pair_ctx(ctx, mesh, "data")
             assert ctx[2].sharding.is_fully_replicated is False
-        loss = make_vmapped_pair_loss("latent", level=0, align_weight=100.0)
+        loss = make_vmapped_pair_loss("latent", level=0, align_weight=100.0,
+                                      subsample_points=subsample_points)
         generic_align_multiple_submaps(
             atlas, loss, num_iters=15, lr=5e-3, batched_loss=True,
             loss_ctx=ctx, seed=3, scan=True)
