@@ -95,7 +95,23 @@ def main():
     p.add_argument("--decoder_cache", default=None,
                    help="reuse the synthetic pretrained decoder across runs"
                         " ('' disables; default /tmp/ncd_synth_decoder_<scene>.npz)")
+    p.add_argument("--jax_cache", default="/tmp/miso_jax_cache",
+                   help="persistent XLA compilation cache dir: repeat runs "
+                        "skip the multi-minute align/mesh/fuse compiles "
+                        "entirely ('' disables)")
+    p.add_argument("--prewarm_only", action="store_true",
+                   help="exit after the mesh/fuse/align prewarms.  Compiles "
+                        "run ~10x slower in an aged process (CLAUDE.md), so "
+                        "warming the persistent --jax_cache from a fresh "
+                        "process, then launching the real run (whose "
+                        "prewarms become disk-cache hits), minimizes total "
+                        "startup")
     args = p.parse_args()
+
+    if args.jax_cache:
+        import jax as _jx
+        _jx.config.update("jax_compilation_cache_dir", args.jax_cache)
+        _jx.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from miso_tpu.config import load_config
     from miso_tpu.datasets.lidar import PosedSdf3DLidar, write_kitti_format_poses
@@ -305,6 +321,9 @@ def main():
             del pw_fuser
         del pw_atlas
         gc.collect()
+    if args.prewarm_only:
+        print("prewarm done (cache populated); exiting", flush=True)
+        return
     fuser = None
     t_start = time.time()
     system = System(atlas, ds_track, ds_map, cfg,

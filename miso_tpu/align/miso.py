@@ -251,6 +251,123 @@ def make_vmapped_pair_loss(kind: str, level: Optional[int] = None,
     return batched
 
 
+def make_flat_pair_loss(kind: str, level: Optional[int] = None,
+                        align_weight=3000.0, align_loss="L2",
+                        use_bound=True, stability_thresh=0.0,
+                        trunc_factor=None, gm_scale_sdf=0.1,
+                        subsample_points=None):
+    """Batched pair loss over a FLATTENED (pairs x points) axis.
+
+    Same ctx/signature/semantics as make_vmapped_pair_loss, different
+    execution shape: instead of vmapping per-pair submap queries (which
+    lowers ``features[s]`` with a traced s to a dynamic-slice of the
+    full stacked storage PER PAIR -- measured ~485 ms/align-iteration at
+    28 pairs x 32k points on v5e, ~300 MB of slice traffic per query),
+    every pair's points join ONE per-point batch: one stacked-storage
+    gather for all pairs (grid_interpolate_per_point, the same O(N)
+    machinery as the fusion losses), per-pair normalization via segment
+    sums.  Per-pair subsample keys derive from the pair identity
+    (fold_in(src), fold_in(dst)) -- bit-identical draws to the vmapped
+    path, pad-invariant for the mesh-sharded ctx.
+
+    InfoNCE needs the per-pair point-set softmax structure and stays on
+    the vmapped path (align_multiple_submaps_hierarchical dispatches).
+    """
+    cache_key = ("flat", kind, level, align_weight, align_loss, use_bound,
+                 stability_thresh, trunc_factor, gm_scale_sdf,
+                 subsample_points)
+    if cache_key in _VMAPPED_PAIR_LOSS_CACHE:
+        return _VMAPPED_PAIR_LOSS_CACHE[cache_key]
+    if align_loss == "InfoNCE":
+        raise ValueError("InfoNCE alignment uses make_vmapped_pair_loss")
+    name = (f"align_latent_level{level}" if kind == "latent" else
+            f"align_sdf_{align_loss}")
+
+    def batched(params: GridAtlasParams, key, ctx):
+        src_ids, dst_ids, coords, valid = ctx
+        P, N = coords.shape[0], coords.shape[1]
+        src_ids = src_ids.astype(jnp.int32)
+        dst_ids = dst_ids.astype(jnp.int32)
+        if subsample_points is not None and subsample_points < N:
+            M = subsample_points
+
+            def pick(s, d):
+                k = jax.random.fold_in(jax.random.fold_in(key, s), d)
+                return jax.random.choice(k, N, (M,), replace=False)
+
+            idx = jax.vmap(pick)(src_ids, dst_ids)             # (P, M)
+            coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
+            valid = jnp.take_along_axis(valid, idx[..., None], axis=1)
+            N = M
+        pair_of_point = jnp.repeat(jnp.arange(P, dtype=jnp.int32), N)
+        ids_src = jnp.repeat(src_ids, N)
+        ids_dst = jnp.repeat(dst_ids, N)
+        pts = coords.reshape(P * N, coords.shape[-1])
+        mask = valid.reshape(P * N, 1)
+        R, t = params.updated_submap_poses()
+        world = se3.transform_points_by_id(pts, ids_src, R, t)
+        coords_to = jnp.einsum("nij,ni->nj", R[ids_dst], world - t[ids_dst],
+                               precision=jax.lax.Precision.HIGHEST)
+        if use_bound:
+            b = params.bounds[ids_dst]                          # (PN, d, 2)
+            inside = jnp.logical_and(coords_to >= b[..., 0],
+                                     coords_to <= b[..., 1])
+            mask = mask * jnp.all(inside, axis=-1,
+                                  keepdims=True).astype(pts.dtype)
+        if stability_thresh > 0:
+            mu_to = params.query_stability_per_point(ids_dst, coords_to)[:, :1]
+            mu_from = params.query_stability_per_point(ids_src, pts)[:, :1]
+            mask = mask * (mu_to > stability_thresh) \
+                * (mu_from > stability_thresh)
+
+        def seg(x):  # (PN,) per-point -> (P,) per-pair sums
+            return jax.ops.segment_sum(x, pair_of_point, num_segments=P)
+
+        counts = jnp.maximum(seg(mask[:, 0]), 1.0)              # (P,)
+        if kind == "latent":
+            end_ch = params.fdim * (level + 1)
+            if trunc_factor is not None:
+                sdf_from = params.forward_per_point(ids_src, pts)
+                cell = params.cell_sizes[level]
+                mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
+                counts = jnp.maximum(seg(mask[:, 0]), 1.0)
+            f_from = params.query_feature_per_point(ids_src, pts)[:, :end_ch]
+            f_to = params.query_feature_per_point(ids_dst,
+                                                  coords_to)[:, :end_ch]
+            c = f_from - f_to
+            if align_loss == "L2":
+                per_pair = seg(jnp.sum(mask * c**2, axis=1)) \
+                    / (counts * end_ch)
+            elif align_loss == "L1":
+                per_pair = seg(mask[:, 0] * jnp.linalg.norm(c, axis=1)) \
+                    / counts
+            elif align_loss == "cos":
+                num = jnp.sum(f_from * f_to, axis=1, keepdims=True)
+                den = (jnp.linalg.norm(f_from, axis=1, keepdims=True)
+                       * jnp.linalg.norm(f_to, axis=1, keepdims=True))
+                term = mask * (1.0 - num / jnp.maximum(den, 1e-8))
+                per_pair = seg(term[:, 0]) / counts
+            else:
+                raise ValueError(f"Invalid align loss: {align_loss}")
+        else:
+            c = (params.forward_per_point(ids_src, pts)
+                 - params.forward_per_point(ids_dst, coords_to))
+            if align_loss == "L2":
+                per_pair = seg((mask * c**2)[:, 0]) / counts
+            elif align_loss == "L1":
+                per_pair = seg(mask[:, 0] * jnp.linalg.norm(c, axis=1)) \
+                    / counts
+            elif align_loss == "GM":
+                per_pair = seg((mask * gm_weighted_sq(c, gm_scale_sdf))[:, 0]) \
+                    / counts
+            else:
+                raise ValueError(f"Invalid align loss: {align_loss}")
+        return {name: jnp.sum(per_pair) * align_weight}
+
+    _VMAPPED_PAIR_LOSS_CACHE[cache_key] = batched
+    return batched
+
+
 def atlas_pose_trust_region_loss(params: GridAtlasParams, thresh_rad,
                                  thresh_m, weight=1e3):
     """Per-submap trust-region pose regularizer (align/base.py:20-27)."""
@@ -553,26 +670,41 @@ def align_multiple_submaps_hierarchical(
         return info
 
     ctx_secs: List[float] = []
+    # Pad the pair axis to the ALL-PAIRS count with inert pairs
+    # (src=dst=0, valid=0 -> zero loss, zero grads; RNG is pad-invariant
+    # because per-pair keys derive from the pair identity).  The pair
+    # count is an executable SHAPE: without the pad, overlap pruning
+    # makes it data-dependent, so a prewarm align on a throwaway atlas
+    # (whose co-located submaps all overlap) compiles a different shape
+    # than the real end-of-run align -- which then pays an aged-process
+    # cache-miss compile at ~10x cost (CLAUDE.md rule 7; the quad-scale
+    # fusion stage's dominant unexplained cost).  Padded, every align at
+    # S submaps shares ONE executable regardless of scene geometry.
+    pad_pairs_to = atlas.num_submaps * (atlas.num_submaps - 1) // 2
 
     def pair_ctx(coords):
+        from miso_tpu.parallel.sharding import pad_pair_ctx, shard_pair_ctx
         t_c = time.perf_counter()
         src = jnp.asarray([s for s, _ in pairs], jnp.int32)
         dst = jnp.asarray([d for _, d in pairs], jnp.int32)
         cf = jnp.stack([coords[s][0] for s, _ in pairs])
         vf = jnp.stack([coords[s][1] for s, _ in pairs])
-        ctx = (src, dst, cf, vf)
+        ctx = pad_pair_ctx((src, dst, cf, vf), max(pad_pairs_to, 1))
         if mesh is not None:
-            from miso_tpu.parallel.sharding import shard_pair_ctx
             ctx = shard_pair_ctx(ctx, mesh, pair_axis)
         jax.block_until_ready(ctx[2])
         ctx_secs.append(time.perf_counter() - t_c)
         return ctx
 
+    # Flat per-point batched losses unless the loss needs per-pair
+    # softmax structure (InfoNCE) -- see make_flat_pair_loss.
+    make_batched = (make_vmapped_pair_loss if align_loss == "InfoNCE"
+                    else make_flat_pair_loss)
     for level in latent_levels:
         coords = {s: atlas.coordinates_for_alignment(s, level)
                   for s in range(atlas.num_submaps)}
         if vmap_pairs:
-            pair_loss = make_vmapped_pair_loss(
+            pair_loss = make_batched(
                 "latent", level=level, align_weight=align_weight,
                 align_loss=align_loss, use_bound=use_bound,
                 stability_thresh=stability_thresh,
@@ -602,7 +734,10 @@ def align_multiple_submaps_hierarchical(
         coords = {s: atlas.coordinates_for_alignment(s, finest)
                   for s in range(atlas.num_submaps)}
         if vmap_pairs:
-            pair_loss_sdf = make_vmapped_pair_loss(
+            make_batched_sdf = (make_vmapped_pair_loss
+                                if sdf_align_loss == "InfoNCE"
+                                else make_flat_pair_loss)
+            pair_loss_sdf = make_batched_sdf(
                 "sdf", align_weight=align_weight, align_loss=sdf_align_loss,
                 use_bound=use_bound, stability_thresh=stability_thresh,
                 gm_scale_sdf=gm_scale_sdf, subsample_points=subsample_points)

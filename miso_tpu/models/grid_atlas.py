@@ -855,15 +855,26 @@ class GridAtlas:
 
     def check_submap_intersection(self, src: int, dst: int, overlap_thresh=1e-2) -> bool:
         """Finest-level vertices of src tested against dst bound
-        (grid_atlas.py:405-420)."""
-        p = self.params
-        shape = self._submap_shapes[src][-1]
-        verts = interp.vertex_positions(shape, p.bounds[src])
-        R, t = p.updated_submap_poses()
-        world = se3.transform_points_to(verts, R[src], t[src])
-        local = se3.transform_points_from(world, R[dst], t[dst])
-        mask = se3.coords_in_bound(local, p.bounds[dst])
-        return float(jnp.mean(mask)) > overlap_thresh
+        (grid_atlas.py:405-420).
+
+        One jitted executable with TRACED pair indices: the eager
+        op-by-op version cost ~120 s of first-call compiles on the axon
+        tunnel (2.6M-vertex chains, one executable per op) and ran per
+        pair -- it was the dominant hidden cost of the first Fuser.align
+        (measured via the align stage timers, round 4)."""
+        global _jit_submap_overlap
+        if "_jit_submap_overlap" not in globals():
+            @functools.partial(jax.jit, static_argnames=("shape",))
+            def _jit_submap_overlap(params, src, dst, shape):
+                verts = interp.vertex_positions(shape, params.bounds[src])
+                R, t = params.updated_submap_poses()
+                world = se3.transform_points_to(verts, R[src], t[src])
+                local = se3.transform_points_from(world, R[dst], t[dst])
+                return jnp.mean(se3.coords_in_bound(local, params.bounds[dst]))
+        shape = tuple(self._submap_shapes[src][-1])
+        frac = _jit_submap_overlap(self.params, jnp.int32(src),
+                                   jnp.int32(dst), shape)
+        return float(frac) > overlap_thresh
 
     def precompute_coordinates_for_alignment(self, norm_thresh=1e-5,
                                              max_points: Optional[int] = None,

@@ -219,16 +219,16 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
         w_all.append(w * ok.astype(w.dtype))
     lin = jnp.stack(lin_all)
     w = jnp.stack(w_all)
-    # (C, F, N) element gather -- keeps N on the lane axis so a
-    # materialized corner-feature intermediate is never lane-padded
-    # ((C, N, F) pads F=4 -> 128 lanes, 32x; reshaping the full stacked
-    # storage to (S*cells, F) materializes the same 32x-padded copy --
-    # 18.6 GB at quad fuse scale -- so the flat element gather stays).
-    flat = stacked.reshape(-1)
-    idx = (lin[:, None, :] * F
-           + jnp.arange(F, dtype=jnp.int32)[None, :, None])
-    cf = jnp.take(flat, idx.reshape(-1), axis=0).reshape(2 ** d, F, N)
-    return jnp.einsum("cn,cfn->fn", w, cf).T
+    # ROW gather + fused einsum -- the exact grid_interpolate shape.
+    # reshape(-1, F) on the folded rank-3 storage is order-preserving
+    # (free), and XLA fuses the (C, N, F) corner intermediate into the
+    # weighted reduction, so nothing lane-padded materializes.  Measured
+    # on v5e at atlas scale (8 x 2.6M cells, 1M random-submap points):
+    # 263 ms/step vs 614 ms for the previous per-element gather
+    # ((C, F, N) indices), and ~10x faster to compile (4.6 s vs 81 s).
+    flat = stacked.reshape(-1, F)
+    cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
+    return jnp.einsum("cn,cnf->nf", w, cf)
 
 
 def multi_level_interpolate(

@@ -6,13 +6,17 @@ swaps on one compiled step.
 """
 from __future__ import annotations
 
+import time
 from typing import Dict, List
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from miso_tpu.losses.miso import make_loss, mapping_loss
 from miso_tpu.models.grid_net import GridNet, grid_net_mask
-from miso_tpu.train.trainer import GridTrainer
+from miso_tpu.train.trainer import (GridTrainer, level_schedule,
+                                    make_train_burst_pool)
 
 
 class Mapper:
@@ -25,6 +29,10 @@ class Mapper:
         self.verbose = c.get("verbose", False)
         self.disable = bool(c.get("disable", False))
         self.last_sample_time = 0.0
+        # One-dispatch burst path state: per-burst key chain + stacked
+        # mask schedules cached per (iterations, level_iterations, mode).
+        self._burst_key = jax.random.PRNGKey(c.get("seed", 0))
+        self._mask_cache: Dict = {}
         self.loss_fn = make_loss(
             mapping_loss,
             loss_type=c.get("loss_type", "L1"),
@@ -44,6 +52,13 @@ class Mapper:
         if self.disable:
             return
         self.dataset.select_keyframes(mapping_kfs)
+        c = self.cfg["mapping"]
+        device_sampling = c.get("device_sampling",
+                                c.get("weight_clip", 0.0) == 0.0)
+        if (device_sampling and c.get("one_dispatch", True)
+                and hasattr(self.dataset, "device_pool")):
+            self._mapping_burst(iterations, level_iterations)
+            return
         cfg_train = dict(self.cfg.get("train", {}))
         cfg_train.update({
             "epochs": iterations,
@@ -76,3 +91,38 @@ class Mapper:
                               mask_for_level=mask_for_level)
         self.grid = trainer.train()
         self.last_sample_time = trainer.sample_time
+
+    def _mapping_burst(self, iterations: int, level_iterations: int):
+        """Whole mapping burst in ONE device dispatch.
+
+        The GridTrainer path fragments a 15-iteration burst into ~6
+        dispatches (power-of-two scan chunks + per-level single-epoch
+        stragglers + a fresh masked-Adam init), each paying transport
+        RTT; measured ~500 ms/frame at quad scale where the math itself
+        is tens of ms.  Here the coarse-to-fine level schedule
+        (reference system.py:190-196 burst semantics) rides a scanned
+        mask stack, the optimizer init happens inside the graph, and
+        batches are drawn on device from the resident pool -- one
+        executable per (iterations, K, B) shape for the whole run.
+        """
+        t0 = time.perf_counter()
+        pool, sel, n_rows, B = self.dataset.device_pool()
+        self.last_sample_time = time.perf_counter() - t0
+        mode = dict(self.cfg.get("train", {})).get(
+            "grid_training_mode", "coordinate+joint")
+        sched = tuple(level_schedule(iterations, level_iterations,
+                                     self.grid.num_levels, mode))
+        masks = self._mask_cache.get(sched)
+        if masks is None:
+            by_level = {l: grid_net_mask(self.grid, level=l, pose=False)
+                        for l in sorted(set(sched))}
+            masks = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[by_level[l] for l in sched])
+            self._mask_cache[sched] = masks
+        burst_fn = make_train_burst_pool(self.loss_fn, "adam")
+        self._burst_key, sub = jax.random.split(self._burst_key)
+        self.grid, tls = burst_fn(self.grid, pool, sel, n_rows, sub, masks,
+                                  jnp.asarray(self.lr, jnp.float32), int(B))
+        if self.verbose:
+            print(f"[mapper] burst {iterations} it "
+                  f"loss {float(tls[-1]):.2e}", flush=True)

@@ -237,6 +237,97 @@ def make_train_scan_pool(loss_fn: Callable, optimizer: str = "adam"):
     return jitted
 
 
+_POOL_BURST_CACHE: Dict = {}
+
+
+def make_train_burst_pool(loss_fn: Callable, optimizer: str = "adam"):
+    """Whole multi-phase training burst in ONE dispatch: per-step masks
+    ride the scan as xs, the optimizer state is initialized inside the
+    jit, and batches are sampled on device from the resident pool.
+
+    burst_fn(model, pool, sel, n_rows, key, masks, lr, B) ->
+    (model, total_losses (steps,)).  ``masks`` is a mask pytree STACKED
+    along a new leading (steps,) axis -- one mask per optimization step
+    -- so a coarse-to-fine level schedule (level0 x5, level1 x5, joint
+    x5: the reference's per-frame replay burst, system.py:190-196 +
+    trainer.py:469-470) runs as a single executable instead of one
+    dispatch per level segment plus single-step stragglers.  Step count
+    is carried by the masks' leading dim, so one executable serves any
+    schedule of the same length.
+
+    Per-step math, sampling, and key chain are IDENTICAL to
+    make_train_scan_pool's body: with a constant mask schedule the two
+    are bit-equal given the same key (tests/test_train_scan.py).  The
+    masked-Adam state starts at zeros inside the graph (the SLAM mapper
+    re-inits the optimizer every burst, as the reference does by
+    constructing a fresh torch optimizer per burst, mapper.py:83), which
+    also removes the ~2x tree-size alloc dispatches per burst.
+    """
+    cache_key = (loss_fn, optimizer)
+    if cache_key in _POOL_BURST_CACHE:
+        return _POOL_BURST_CACHE[cache_key]
+
+    def burst_fn(model, pool, sel, n_rows, key, masks, lr, B: int):
+        K = sel.shape[0]
+        sel = sel.astype(jnp.int32)
+        n_max = next(iter(pool.values())).shape[1]
+        flat = {name: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+                for name, a in pool.items()}
+        ids = jnp.repeat(sel, B)
+        weights = jnp.ones((K * B, 1), jnp.float32)
+        nr_sel = n_rows[sel]                                        # (K,)
+        opt_state = (masked_adam_init(model) if optimizer == "adam"
+                     else masked_sgd_init(model))
+
+        def body(carry, mask_t):
+            model, opt_state, key = carry
+            key, k_idx, sub = jax.random.split(key, 3)
+            u = jax.random.uniform(k_idx, (K, B))
+            idx = jnp.floor(u * nr_sel[:, None].astype(u.dtype)
+                            ).astype(jnp.int32)
+            rows = (sel[:, None] * n_max + idx).reshape(-1)         # (K*B,)
+            batch = {name: jnp.take(a, rows, axis=0)
+                     for name, a in flat.items()}
+            batch["sample_frame_ids"] = ids
+            batch["weights"] = weights
+            new_m, new_o, tl = _guarded_masked_update(
+                loss_fn, optimizer, model, opt_state, batch, sub, mask_t, lr)
+            return (new_m, new_o, key), tl
+
+        (model, _, _), tls = jax.lax.scan(
+            body, (model, opt_state, key), masks)
+        return model, tls
+
+    jitted = jax.jit(burst_fn, static_argnums=(7,))
+    _POOL_BURST_CACHE[cache_key] = jitted
+    return jitted
+
+
+def level_schedule(iterations: int, max_epochs_in_level: int,
+                   num_levels: int, mode: str = "coordinate+joint"):
+    """Per-epoch mask level ids exactly as GridTrainer.pre_epoch emits
+    them with relchange_tol == 0 (deterministic max-epochs switching):
+    level l trains for ``max_epochs_in_level`` epochs, then the next,
+    then the finest ('coordinate') or the joint phase
+    ('coordinate+joint' / reference trainer.py:469-470).  Returns a list
+    of ints in [0, num_levels] where num_levels means the joint mask.
+    """
+    if mode == "joint":
+        return [num_levels] * iterations
+    out, active, in_level = [], 0, 0
+    for _ in range(iterations):
+        if in_level >= max_epochs_in_level and active < num_levels:
+            active += 1
+            in_level = 0
+        in_level += 1
+        if active >= num_levels:
+            out.append(num_levels - 1 if mode == "coordinate"
+                       else num_levels)
+        else:
+            out.append(active)
+    return out
+
+
 _POOL_STEP_CACHE: Dict = {}
 
 

@@ -284,6 +284,55 @@ def test_vmapped_pair_loss_matches_unrolled():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_flat_pair_loss_matches_vmapped():
+    """make_flat_pair_loss (per-point batch + segment sums -- the fast
+    execution shape) equals make_vmapped_pair_loss numerically for every
+    loss kind, including with per-pair subsampling (identical pair-
+    identity-derived keys -> identical draws)."""
+    from miso_tpu.align.miso import (make_flat_pair_loss,
+                                     make_vmapped_pair_loss)
+
+    atlas = build_atlas(3, offset=0.4)
+    atlas.set_submap_pose_correction(
+        1, np.array([0, 0, 0.05], np.float32),
+        np.array([0.05, 0, 0], np.float32))
+    atlas.precompute_coordinates_for_alignment()
+    p = atlas.params
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    key = jax.random.PRNGKey(3)
+
+    def ctx_at(level):
+        coords = {s: atlas.coordinates_for_alignment(s, level)
+                  for s in range(3)}
+        return (jnp.asarray([s for s, _ in pairs], jnp.int32),
+                jnp.asarray([d for _, d in pairs], jnp.int32),
+                jnp.stack([coords[s][0] for s, _ in pairs]),
+                jnp.stack([coords[s][1] for s, _ in pairs]))
+
+    cases = [dict(kind="latent", level=0, align_loss="L2"),
+             dict(kind="latent", level=1, align_loss="L1"),
+             dict(kind="latent", level=1, align_loss="cos"),
+             dict(kind="sdf", align_loss="L2"),
+             dict(kind="sdf", align_loss="GM"),
+             dict(kind="latent", level=1, align_loss="L2",
+                  subsample_points=64),
+             dict(kind="sdf", align_loss="L2", subsample_points=64)]
+    for case in cases:
+        kind = case.pop("kind")
+        level = case.pop("level", None)
+        ctx = ctx_at(level if level is not None else 1)
+        kw = dict(align_weight=1.0, stability_thresh=0.1, **case)
+        if kind == "latent":
+            kw["level"] = level
+        flat = make_flat_pair_loss(kind, **kw)(p, key, ctx)
+        vm = make_vmapped_pair_loss(kind, **kw)(p, key, ctx)
+        assert set(flat) == set(vm)
+        for name in vm:
+            np.testing.assert_allclose(np.asarray(flat[name]),
+                                       np.asarray(vm[name]),
+                                       rtol=2e-4, atol=1e-6), (kind, case)
+
+
 def test_scanned_alignment_matches_loop():
     """The scanned alignment driver (one dispatch, on-device rel-change
     freeze) equals the per-iteration host loop exactly -- same key

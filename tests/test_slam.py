@@ -304,6 +304,115 @@ def test_system_axis_aligned_submap_anchors(seq, pretrained_decoder_path):
     assert err.max() < 0.5, err
 
 
+@pytest.mark.slow
+def test_system_fuser_recovers_drift_at_many_submaps(tmp_path):
+    """System -> Fuser wiring at S = 8 with accumulated inter-submap
+    drift and capacity growth: a circuit LiDAR run around the quad
+    courtyard spawns 8 submaps (starting capacity 4, so the atlas
+    regrows mid-run) with odometry drift injected at submap boundaries
+    -- within-submap maps stay sharp, the submap FRAMES drift apart,
+    which is exactly the error mode rigid submap alignment corrects
+    (reference system.py:118-163 feeding fuser.py:29-54, the paper's
+    headline multi-submap consistency claim; VERDICT r3 item 7).
+
+    Regime calibration (CPU, this exact setup): align at 200 iters
+    recovers KF ATE 0.49 -> 0.26 m (1.9x); an orbit regime with
+    per-frame noise and fully-overlapping submaps only reaches ~1.2x
+    because tracking absorbs intra-submap noise into the maps
+    themselves.  The bar is 1.6x for headroom across backends."""
+    from scipy.spatial.transform import Rotation
+
+    from miso_tpu.datasets.sdf_3d import Sdf3D
+    from miso_tpu.datasets.sequence import circuit_trajectory
+    from miso_tpu.datasets.shapes import quad_scene
+    from miso_tpu.losses.sdf import tsdf_loss_3d
+    from miso_tpu.slam.fuser import Fuser
+    from miso_tpu.train.checkpoint import save_pytree
+
+    bound = [[-7.0, 7.0], [-7.0, 7.0], [-2.0, 4.0]]
+    model_cfg = {
+        "spatial_dim": 3,
+        "grid": {"type": "regular", "feature_dim": 4, "init_stddev": 1e-4,
+                 "bound": bound, "base_cell_size": 1.0,
+                 "per_level_scale": 8.0, "n_levels": 2},
+        "decoder": dict(MODEL_CFG["decoder"]),
+        "pose": {"optimize": True, "num_poses": 100},
+    }
+    verts, tris = quad_scene(12.0, wall_height=3.0, seed=0, n_objects=10,
+                             path_half_extent=4.0)
+    mesh = TriangleMesh(verts, tris)
+
+    # Pretrain the shared decoder on the scene's GT SDF (scannet.yaml:17).
+    ds = Sdf3D(mesh, batch_size=2**13, total_samples=2**16, trunc_dist=0.3)
+    dec_cfg = dict(model_cfg)
+    dec_cfg["decoder"] = dict(model_cfg["decoder"], fix=False,
+                              pretrained_model=None)
+    dec_model = create_grid_net(jax.random.PRNGKey(7), dec_cfg)
+    dec_loss = make_loss(tsdf_loss_3d, sdf_weight=3e3, sign_weight=1e2,
+                         eik_weight=0.0, trunc_dist=0.3)
+    dec_model = GridTrainer(
+        {"optimizer": "adam", "learning_rate": 5e-3, "epochs": 200,
+         "max_epochs_in_level": 60,
+         "grid_training_mode": "coordinate+joint"},
+        dec_model, dec_loss, ds).train()
+    decoder_path = str(tmp_path / "quad_decoder.npz")
+    save_pytree(decoder_path, dec_model.decoder)
+    model_cfg["decoder"] = dict(model_cfg["decoder"], fix=True,
+                                pretrained_model=decoder_path)
+
+    R, t = circuit_trajectory(4.0, 1.0, 24, wobble=0.2)
+    drift_seq = SdfSequence(mesh, R, t, frame_samples=2**11,
+                            frame_batchsize=1024, trunc_dist=0.3,
+                            near_surface_std=0.15, seed=3,
+                            scan_pattern="lidar", width=96, height=24)
+    # Drift injected ONLY at submap boundaries (kf 3k+2 -> 3k+3).
+    nrng = np.random.default_rng(11)
+    for i in range(2, len(drift_seq.odometry), 3):
+        Nz = np.eye(4, dtype=np.float32)
+        Nz[:3, :3] = Rotation.from_rotvec(
+            nrng.standard_normal(3) * 0.03).as_matrix()
+        Nz[:3, 3] = nrng.standard_normal(3) * 0.08
+        drift_seq.odometry[i] = (drift_seq.odometry[i] @ Nz).astype(np.float32)
+
+    cfg = {k: (dict(v) if isinstance(v, dict) else v) for k, v in CFG.items()}
+    cfg["tracking"] = dict(CFG["tracking"], trunc_dist=0.3,
+                           gm_scale_sdf=0.15)
+    cfg["mapping"] = dict(CFG["mapping"], loss_type="L2",
+                          init_iterations=40, iters_per_frame=25,
+                          mask_bound=1.0)
+    cfg["system"] = dict(CFG["system"], submap_size=3,
+                         submap_local_bound=bound, submap_world_bound=bound,
+                         submap_axis_aligned=True)
+    cfg["align"] = dict(CFG["align"], level_iters=200)
+    atlas = GridAtlas(model_cfg, max_kfs_per_submap=3, capacity=4)
+    R0, t0 = drift_seq.noisy_kf_pose_in_world(0)
+    system = System(atlas, drift_seq, drift_seq, cfg,
+                    R_world_origin=R0, t_world_origin=t0)
+    system.run()
+    assert atlas.num_submaps == 8          # 24 frames / submap_size 3
+    assert atlas.params.Rws.shape[0] >= 8  # grew past capacity 4
+
+    def _ate():
+        _, tk = atlas.params.updated_kf_poses_in_world()
+        t_est = np.asarray(tk)[: drift_seq.num_kfs]
+        t_gt = np.stack([drift_seq.true_kf_pose_in_world(k)[1].reshape(3)
+                         for k in range(drift_seq.num_kfs)])
+        return float(np.sqrt(((t_est - t_gt) ** 2).sum(-1).mean()))
+
+    ate_pre = _ate()
+    fuser = Fuser(atlas, drift_seq, cfg)
+    fuser.align()
+    ate_post = _ate()
+    # Drift must be visible pre-fusion and substantially reduced by the
+    # submap alignment (calibrated 1.9x; bar 1.6x).
+    assert ate_pre > 0.1, f"no drift accumulated (ATE {ate_pre:.4f} m)"
+    assert ate_post < ate_pre / 1.6, (ate_pre, ate_post)
+    # fuse() then refines jointly without degrading the trajectory.
+    fuser.fuse(feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,
+               iterations=5, max_points_per_iter=2 ** 14)
+    assert _ate() < ate_pre / 1.3
+
+
 @pytest.mark.fast
 def test_trim_scatter_and_spare_capacity_fuse(seq, pretrained_decoder_path):
     """Capacity trimming used by Fuser.fuse: a trimmed params is

@@ -233,6 +233,106 @@ def test_pool_step_matches_host_step_when_single_kf_single_row():
                                        rtol=1e-5, atol=1e-7)
 
 
+def test_burst_pool_matches_scan_pool_bit_exact():
+    """make_train_burst_pool with a constant mask schedule must be
+    BIT-equal to make_train_scan_pool from a zero-initialized optimizer:
+    identical per-step math, sampling, and key chain."""
+    from miso_tpu.losses.miso import mapping_loss
+    from miso_tpu.train.optim import masked_adam_init
+    from miso_tpu.train.trainer import (make_train_burst_pool,
+                                        make_train_scan_pool)
+    from miso_tpu.models.base import tree_full_mask
+
+    seq = _tiny_seq(frame_samples=128)
+    cfg = dict(CFG_MODEL)
+    cfg["pose"] = {"optimize": True, "num_poses": 4}
+    model = create_grid_net(jax.random.PRNGKey(0), cfg)
+    for kf in range(3):
+        R, t = seq.true_kf_pose_in_world(kf)
+        model = model.set_initial_kf_pose(kf, jnp.asarray(R), jnp.asarray(t))
+    loss_fn = make_loss(mapping_loss, loss_type="L1", weight_sdf=1.0,
+                        weight_fs=0.2, trunc_dist=0.3,
+                        finite_diff_eps=0.05, grad_method="finitediff",
+                        eik_trunc_dist=0.3)
+    seq.select_keyframes([0, 1, 2])
+    pool, sel, n_rows, B = seq.device_pool()
+    mask = tree_full_mask(model)
+    lr = jnp.float32(5e-3)
+    steps, key = 7, jax.random.PRNGKey(21)
+
+    scan = make_train_scan_pool(loss_fn, "adam")
+    m1, _, tls1 = scan(model, masked_adam_init(model), pool, sel, n_rows,
+                       key, mask, lr, steps, int(B))
+
+    masks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *([mask] * steps))
+    burst = make_train_burst_pool(loss_fn, "adam")
+    m2, tls2 = burst(model, pool, sel, n_rows, key, masks, lr, int(B))
+
+    np.testing.assert_array_equal(np.asarray(tls1), np.asarray(tls2))
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m2)):
+        if hasattr(a, "dtype") and np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_level_schedule_matches_gridtrainer_boundaries():
+    """level_schedule emits the exact level-per-epoch sequence the
+    GridTrainer's pre_epoch switching produces with relchange_tol=0
+    (test_scanned_gridtrainer_respects_level_boundaries pins the trainer
+    side: level0_last_epoch=10, level1_last_epoch=20 at max=10)."""
+    from miso_tpu.train.trainer import level_schedule
+
+    assert level_schedule(30, 10, 2, "coordinate+joint") == \
+        [0] * 10 + [1] * 10 + [2] * 10
+    assert level_schedule(30, 10, 2, "coordinate") == [0] * 10 + [1] * 20
+    assert level_schedule(5, 10, 2, "joint") == [2] * 5
+    # SLAM per-frame burst shape: 15 iters, 5 per level, 2 levels
+    assert level_schedule(15, 5, 2, "coordinate+joint") == \
+        [0] * 5 + [1] * 5 + [2] * 5
+
+
+def test_mapper_one_dispatch_burst_trains():
+    """Mapper fast path (one_dispatch): a coarse-to-fine burst in one
+    dispatch reduces the mapping loss comparably to the trainer path."""
+    from miso_tpu.slam.mapper import Mapper
+
+    losses = {}
+    for one_dispatch in (False, True):
+        seq = _tiny_seq(frame_samples=256)
+        cfg_model = dict(CFG_MODEL)
+        cfg_model["grid"] = dict(CFG_MODEL["grid"],
+                                 bound=[[-4.0, 4.0]] * 3)
+        cfg_model["pose"] = {"optimize": True, "num_poses": 4}
+        model = create_grid_net(jax.random.PRNGKey(0), cfg_model)
+        for kf in range(3):
+            R, t = seq.true_kf_pose_in_world(kf)
+            model = model.set_initial_kf_pose(kf, jnp.asarray(R),
+                                              jnp.asarray(t))
+        cfg = {"mapping": {"learning_rate": 5e-3, "loss_type": "L1",
+                           "weight_sdf": 1.0, "weight_fs": 0.2,
+                           "trunc_dist": 0.3, "finite_diff_eps": 0.05,
+                           "eik_trunc_dist": 0.3,
+                           "one_dispatch": one_dispatch,
+                           "device_sampling": True},
+               "train": {"grid_training_mode": "coordinate+joint"}}
+        mapper = Mapper(model, seq, cfg)
+        key0 = jax.random.PRNGKey(11)
+        b = {k: jnp.asarray(np.asarray(v))
+             for k, v in seq.sample(np.random.default_rng(2)).items()}
+        before = sum(float(jnp.mean(v))
+                     for v in mapper.loss_fn(model, b, key0).values())
+        mapper.mapping([0, 1, 2], iterations=30, level_iterations=10)
+        after = sum(float(jnp.mean(v))
+                    for v in mapper.loss_fn(mapper.grid, b, key0).values())
+        losses[one_dispatch] = (before, after)
+        assert after < before * 0.8, (one_dispatch, before, after)
+        assert mapper.last_sample_time < 0.5
+    # comparable quality between the two paths
+    a, b_ = losses[True][1], losses[False][1]
+    assert a < b_ * 1.5 + 1e-3, losses
+
+
 def test_trainer_device_sampling_trains():
     """GridTrainer with cfg device_sampling=True runs the pooled scan
     path end-to-end and reduces the mapping loss."""
