@@ -678,9 +678,14 @@ def align_multiple_submaps_hierarchical(
     # (whose co-located submaps all overlap) compiles a different shape
     # than the real end-of-run align -- which then pays an aged-process
     # cache-miss compile at ~10x cost (CLAUDE.md rule 7; the quad-scale
-    # fusion stage's dominant unexplained cost).  Padded, every align at
-    # S submaps shares ONE executable regardless of scene geometry.
-    pad_pairs_to = atlas.num_submaps * (atlas.num_submaps - 1) // 2
+    # fusion stage's dominant unexplained cost).  Rounding up to the
+    # next power of two then makes the executable S-independent in
+    # bands: a run whose fov-triggered spawns land on 11 submaps
+    # (55 pairs) reuses the S=10 (45 pairs) executable via the shared
+    # 64-pair pad, at <=2x inert-pair compute on a stage measured in
+    # seconds.  One executable per (pad band, point count) total.
+    all_pairs = atlas.num_submaps * (atlas.num_submaps - 1) // 2
+    pad_pairs_to = 1 << max(all_pairs - 1, 0).bit_length()
 
     def pair_ctx(coords):
         from miso_tpu.parallel.sharding import pad_pair_ctx, shard_pair_ctx

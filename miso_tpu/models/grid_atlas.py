@@ -408,7 +408,7 @@ class GridAtlasParams(struct.PyTreeNode):
             pos_invariant=self.pos_invariant,
             decoder_fixed=self.decoder_fixed,
             optimize_pose=True,
-            anchor_kf=anchor_kf,
+            anchor_kf=jnp.asarray(anchor_kf, jnp.int32),
         )
 
     def with_submap(self, s: int, grid: GridNet,

@@ -57,6 +57,16 @@ class GridNet(struct.PyTreeNode):
     bound: jnp.ndarray                         # (d, 2)
     ignore_level: jnp.ndarray                  # (L,) float; 1 = ignored
     vm_bases: Any = None                       # per level basis dict (VM only)
+    # anchor_kf is a LEAF, not static config: it is the submap's global
+    # anchor keyframe id (3, 6, 9, ... in a SLAM run), used only in index
+    # arithmetic (global kf id -> local pose row, losses/miso.py:24).  As
+    # a static field it was baked into every executable's jit key, so
+    # EVERY submap spawn recompiled the whole mapping/tracking set at
+    # aged-process cost (measured 45 s/spawn on the quad run).  As an
+    # int32 leaf the same executables serve every submap; integer leaves
+    # are never touched by the masked optimizers (float0-grad guard,
+    # train/optim.py:47).
+    anchor_kf: Any = 0                         # () int32
     # --- static config ----------------------------------------------------
     d: int = struct.field(pytree_node=False, default=3)
     fdim: int = struct.field(pytree_node=False, default=4)
@@ -65,7 +75,6 @@ class GridNet(struct.PyTreeNode):
     pos_invariant: bool = struct.field(pytree_node=False, default=True)
     decoder_fixed: bool = struct.field(pytree_node=False, default=False)
     optimize_pose: bool = struct.field(pytree_node=False, default=False)
-    anchor_kf: int = struct.field(pytree_node=False, default=0)
     grid_type: str = struct.field(pytree_node=False, default="regular")
     vm_bases_fixed: bool = struct.field(pytree_node=False, default=False)
     # 'xla' (default) or 'pallas': fused interp+concat+decode kernel
@@ -154,7 +163,7 @@ class GridNet(struct.PyTreeNode):
     def pose_key_to_id(self, kf_key: str) -> int:
         """'KF{global_id}' -> local pose index (grid_net.py:242-244)."""
         assert kf_key.startswith("KF"), kf_key
-        return int(kf_key[2:]) - self.anchor_kf
+        return int(kf_key[2:]) - int(self.anchor_kf)
 
     # --- functional mutations --------------------------------------------
     def set_initial_kf_pose(self, kf_id: int, R, t) -> "GridNet":
@@ -283,7 +292,7 @@ def create_grid_net(key, cfg_model: Dict, bound=None, num_poses: Optional[int] =
         pos_invariant=pos_invariant,
         decoder_fixed=decoder_fixed,
         optimize_pose=opt_pose,
-        anchor_kf=anchor_kf,
+        anchor_kf=jnp.asarray(anchor_kf, jnp.int32),
         decode_impl=str(dcfg.get("impl", "xla")),
     )
 

@@ -183,7 +183,7 @@ class System:
         src = dst - 1
         s = self.model.curr_submap_id
         grid = self.tracker.grid
-        R_src, t_src = grid.updated_kf_pose(src - grid.anchor_kf)
+        R_src, t_src = grid.updated_kf_pose(src - int(grid.anchor_kf))
         T_ss = np.asarray(se3.pose_matrix(R_src, t_src))
         if self.init_odom == "external":
             T_sd = np.asarray(self.dataset_track.get_odometry_at_pose(src))

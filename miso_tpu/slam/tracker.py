@@ -197,12 +197,12 @@ class Tracker:
     def initialize_window(self, head_kf: int, tail_kf: int):
         for dst in range(head_kf, tail_kf):
             src = dst - 1
-            R_src, t_src = self.grid.updated_kf_pose(src - self.grid.anchor_kf)
+            R_src, t_src = self.grid.updated_kf_pose(src - int(self.grid.anchor_kf))
             T_ws = np.asarray(se3.pose_matrix(R_src, t_src))
             T_sd = np.asarray(self.dataset.get_odometry_at_pose(src))
             T_wd = T_ws @ T_sd
             self.grid = self.grid.set_initial_kf_pose(
-                dst - self.grid.anchor_kf, jnp.asarray(T_wd[:3, :3]),
+                dst - int(self.grid.anchor_kf), jnp.asarray(T_wd[:3, :3]),
                 jnp.asarray(T_wd[:3, 3]))
 
     # -- solvers -----------------------------------------------------------
@@ -234,7 +234,7 @@ class Tracker:
 
     def track_lm(self, optimize_kf: int):
         self.dataset.select_keyframes([optimize_kf])
-        kf_local = optimize_kf - self.grid.anchor_kf
+        kf_local = optimize_kf - int(self.grid.anchor_kf)
         trunc = np.float32(self.trunc_dist) if self.trunc_dist is not None \
             else np.float32(np.inf)
         ltype = self.loss_type if self.loss_type in ("GM", "L2") else "L2"
@@ -294,7 +294,7 @@ class Tracker:
         self.dataset.select_keyframes(optimize_kfs)
         rows = np.zeros((self.grid.num_poses,), np.float32)
         for kf in optimize_kfs:
-            rows[kf - self.grid.anchor_kf] = 1.0
+            rows[kf - int(self.grid.anchor_kf)] = 1.0
         mask = grid_net_mask(self.grid, features=False, stability=False,
                              decoder=False, pose=True,
                              pose_rows=jnp.asarray(rows))
@@ -308,7 +308,7 @@ class Tracker:
         # FOV overlap for submap spawning decisions.
         batch = self.dataset.sample(self._rng)
         kf = optimize_kfs[-1]
-        R, t = self.grid.updated_kf_pose(kf - self.grid.anchor_kf)
+        R, t = self.grid.updated_kf_pose(kf - int(self.grid.anchor_kf))
         pts = se3.transform_points_to(jnp.asarray(batch["coords_frame"]), R, t)
         self.latest_fov_overlap = float(jnp.mean(se3.coords_in_bound(pts, self.grid.bound)))
         self.initial_fov_overlap = self.latest_fov_overlap
