@@ -13,6 +13,7 @@ runs a Python loop issuing hundreds of small kernels per iteration.
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -273,15 +274,85 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
     InfoNCE needs the per-pair point-set softmax structure and stays on
     the vmapped path (align_multiple_submaps_hierarchical dispatches).
     """
+    # Flat-axis chunk bound (points per lax.map step).  2**18 is half
+    # the empirically safe v5e size (S=8 x 8192 = 262k runs; one fused
+    # body at 1M faults the worker) and matches the fuse step's proven
+    # per-iteration budget.  Env-overridable for tests.
+    flat_chunk = int(os.environ.get("MISO_FLAT_ALIGN_CHUNK", 1 << 18))
     cache_key = ("flat", kind, level, align_weight, align_loss, use_bound,
                  stability_thresh, trunc_factor, gm_scale_sdf,
-                 subsample_points)
+                 subsample_points, flat_chunk)
     if cache_key in _VMAPPED_PAIR_LOSS_CACHE:
         return _VMAPPED_PAIR_LOSS_CACHE[cache_key]
     if align_loss == "InfoNCE":
         raise ValueError("InfoNCE alignment uses make_vmapped_pair_loss")
     name = (f"align_latent_level{level}" if kind == "latent" else
             f"align_sdf_{align_loss}")
+
+    def _safe_norm(v, axis, keepdims=False):
+        # Value-identical to jnp.linalg.norm, but grad 0 (not NaN) at
+        # v == 0: zero vectors occur legitimately (masked rows, exact
+        # feature agreement), and 0 * NaN still poisons the pose grad.
+        sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+        nz = (sq > 0).astype(v.dtype)
+        return jnp.sqrt(jnp.where(sq > 0, sq, 1.0)) * nz
+
+    def point_sums(params: GridAtlasParams, R, t, chunk):
+        """Per-point loss terms for one flat chunk -> partial per-pair
+        sums ((P,) masked-term sum, (P,) mask count sum)."""
+        pair_of_point, ids_src, ids_dst, pts, mask = chunk
+        P = R.shape[0]
+        world = se3.transform_points_by_id(pts, ids_src, R, t)
+        coords_to = jnp.einsum("nij,ni->nj", R[ids_dst], world - t[ids_dst],
+                               precision=jax.lax.Precision.HIGHEST)
+        if use_bound:
+            b = params.bounds[ids_dst]                          # (n, d, 2)
+            inside = jnp.logical_and(coords_to >= b[..., 0],
+                                     coords_to <= b[..., 1])
+            mask = mask * jnp.all(inside, axis=-1,
+                                  keepdims=True).astype(pts.dtype)
+        if stability_thresh > 0:
+            mu_to = params.query_stability_per_point(ids_dst, coords_to)[:, :1]
+            mu_from = params.query_stability_per_point(ids_src, pts)[:, :1]
+            mask = mask * (mu_to > stability_thresh) \
+                * (mu_from > stability_thresh)
+
+        def seg(x):  # (n,) per-point -> (P,) per-pair partial sums
+            return jax.ops.segment_sum(x, pair_of_point, num_segments=P)
+
+        if kind == "latent":
+            end_ch = params.fdim * (level + 1)
+            if trunc_factor is not None:
+                sdf_from = params.forward_per_point(ids_src, pts)
+                cell = params.cell_sizes[level]
+                mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
+            f_from = params.query_feature_per_point(ids_src, pts)[:, :end_ch]
+            f_to = params.query_feature_per_point(ids_dst,
+                                                  coords_to)[:, :end_ch]
+            c = f_from - f_to
+            if align_loss == "L2":
+                term = seg(jnp.sum(mask * c**2, axis=1))
+            elif align_loss == "L1":
+                term = seg(mask[:, 0] * _safe_norm(c, axis=1))
+            elif align_loss == "cos":
+                num = jnp.sum(f_from * f_to, axis=1, keepdims=True)
+                den = (_safe_norm(f_from, axis=1, keepdims=True)
+                       * _safe_norm(f_to, axis=1, keepdims=True))
+                term = seg((mask * (1.0 - num / jnp.maximum(den, 1e-8)))[:, 0])
+            else:
+                raise ValueError(f"Invalid align loss: {align_loss}")
+        else:
+            c = (params.forward_per_point(ids_src, pts)
+                 - params.forward_per_point(ids_dst, coords_to))
+            if align_loss == "L2":
+                term = seg((mask * c**2)[:, 0])
+            elif align_loss == "L1":
+                term = seg(mask[:, 0] * _safe_norm(c, axis=1))
+            elif align_loss == "GM":
+                term = seg((mask * gm_weighted_sq(c, gm_scale_sdf))[:, 0])
+            else:
+                raise ValueError(f"Invalid align loss: {align_loss}")
+        return term, seg(mask[:, 0])
 
     def batched(params: GridAtlasParams, key, ctx):
         src_ids, dst_ids, coords, valid = ctx
@@ -299,70 +370,40 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
             coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
             valid = jnp.take_along_axis(valid, idx[..., None], axis=1)
             N = M
-        pair_of_point = jnp.repeat(jnp.arange(P, dtype=jnp.int32), N)
-        ids_src = jnp.repeat(src_ids, N)
-        ids_dst = jnp.repeat(dst_ids, N)
-        pts = coords.reshape(P * N, coords.shape[-1])
-        mask = valid.reshape(P * N, 1)
+        flat = (jnp.repeat(jnp.arange(P, dtype=jnp.int32), N),  # pair id
+                jnp.repeat(src_ids, N), jnp.repeat(dst_ids, N),
+                coords.reshape(P * N, coords.shape[-1]),
+                valid.reshape(P * N, 1))
         R, t = params.updated_submap_poses()
-        world = se3.transform_points_by_id(pts, ids_src, R, t)
-        coords_to = jnp.einsum("nij,ni->nj", R[ids_dst], world - t[ids_dst],
-                               precision=jax.lax.Precision.HIGHEST)
-        if use_bound:
-            b = params.bounds[ids_dst]                          # (PN, d, 2)
-            inside = jnp.logical_and(coords_to >= b[..., 0],
-                                     coords_to <= b[..., 1])
-            mask = mask * jnp.all(inside, axis=-1,
-                                  keepdims=True).astype(pts.dtype)
-        if stability_thresh > 0:
-            mu_to = params.query_stability_per_point(ids_dst, coords_to)[:, :1]
-            mu_from = params.query_stability_per_point(ids_src, pts)[:, :1]
-            mask = mask * (mu_to > stability_thresh) \
-                * (mu_from > stability_thresh)
-
-        def seg(x):  # (PN,) per-point -> (P,) per-pair sums
-            return jax.ops.segment_sum(x, pair_of_point, num_segments=P)
-
-        counts = jnp.maximum(seg(mask[:, 0]), 1.0)              # (P,)
-        if kind == "latent":
-            end_ch = params.fdim * (level + 1)
-            if trunc_factor is not None:
-                sdf_from = params.forward_per_point(ids_src, pts)
-                cell = params.cell_sizes[level]
-                mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
-                counts = jnp.maximum(seg(mask[:, 0]), 1.0)
-            f_from = params.query_feature_per_point(ids_src, pts)[:, :end_ch]
-            f_to = params.query_feature_per_point(ids_dst,
-                                                  coords_to)[:, :end_ch]
-            c = f_from - f_to
-            if align_loss == "L2":
-                per_pair = seg(jnp.sum(mask * c**2, axis=1)) \
-                    / (counts * end_ch)
-            elif align_loss == "L1":
-                per_pair = seg(mask[:, 0] * jnp.linalg.norm(c, axis=1)) \
-                    / counts
-            elif align_loss == "cos":
-                num = jnp.sum(f_from * f_to, axis=1, keepdims=True)
-                den = (jnp.linalg.norm(f_from, axis=1, keepdims=True)
-                       * jnp.linalg.norm(f_to, axis=1, keepdims=True))
-                term = mask * (1.0 - num / jnp.maximum(den, 1e-8))
-                per_pair = seg(term[:, 0]) / counts
-            else:
-                raise ValueError(f"Invalid align loss: {align_loss}")
+        PN, C = P * N, flat_chunk
+        if PN > C:
+            # Chunk the flat point axis: a single fused loss body past
+            # ~1e6 points hard-kills the TPU worker (the same class of
+            # fault as round 3's >2M-cell scan carry, isolated by
+            # bisection: S=8 x 32k points faults, 262k points runs), and
+            # its backward residuals scale with PN.  lax.map evaluates
+            # one bounded chunk at a time; jax.checkpoint recomputes the
+            # chunk forward in the backward pass so peak memory is
+            # O(chunk) regardless of the pair count.  Segment sums are
+            # associative, so only float summation order changes
+            # (partial-sum accumulation vs one pass).
+            pad = (-PN) % C
+            if pad:
+                flat = jax.tree_util.tree_map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), flat)
+            chunks = jax.tree_util.tree_map(
+                lambda a: a.reshape((PN + pad) // C, C, *a.shape[1:]), flat)
+            term, cnt = jax.lax.map(
+                jax.checkpoint(lambda ch: point_sums(params, R, t, ch)),
+                chunks)
+            term, cnt = term.sum(0), cnt.sum(0)
         else:
-            c = (params.forward_per_point(ids_src, pts)
-                 - params.forward_per_point(ids_dst, coords_to))
-            if align_loss == "L2":
-                per_pair = seg((mask * c**2)[:, 0]) / counts
-            elif align_loss == "L1":
-                per_pair = seg(mask[:, 0] * jnp.linalg.norm(c, axis=1)) \
-                    / counts
-            elif align_loss == "GM":
-                per_pair = seg((mask * gm_weighted_sq(c, gm_scale_sdf))[:, 0]) \
-                    / counts
-            else:
-                raise ValueError(f"Invalid align loss: {align_loss}")
-        return {name: jnp.sum(per_pair) * align_weight}
+            term, cnt = point_sums(params, R, t, flat)
+        counts = jnp.maximum(cnt, 1.0)
+        if kind == "latent" and align_loss == "L2":
+            counts = counts * (params.fdim * (level + 1))
+        return {name: jnp.sum(term / counts) * align_weight}
 
     _VMAPPED_PAIR_LOSS_CACHE[cache_key] = batched
     return batched

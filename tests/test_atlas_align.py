@@ -58,7 +58,12 @@ def build_atlas(n_submaps=2, offset=0.5):
             world = verts + np.array([offset * s, 0, 0], np.float32)
             arrs.append(world_feature(world).reshape(*shape, 2))
         feats.append(jnp.asarray(fold_stacked(np.stack(arrs))))
-    atlas.params = p.replace(features=tuple(feats))
+    # Mark every cell observed: stability grids ship as zeros, which
+    # would void any stability_thresh>0 loss (all-masked -> loss 0 and
+    # parity tests comparing zeros).
+    atlas.params = p.replace(
+        features=tuple(feats),
+        stability=tuple(jnp.ones_like(s) for s in p.stability))
     return atlas
 
 
@@ -331,6 +336,63 @@ def test_flat_pair_loss_matches_vmapped():
             np.testing.assert_allclose(np.asarray(flat[name]),
                                        np.asarray(vm[name]),
                                        rtol=2e-4, atol=1e-6), (kind, case)
+
+
+def test_flat_pair_loss_chunked_matches_unchunked(monkeypatch):
+    """The point-chunked execution of make_flat_pair_loss (lax.map over
+    bounded chunks + partial segment sums, the path that keeps big-atlas
+    alignment from killing the TPU worker) matches the single-pass body
+    in value AND pose gradient.  Chunk size is env-driven and part of
+    the loss cache key; a deliberately tiny chunk forces many map steps
+    plus a padded tail."""
+    from miso_tpu.align.miso import make_flat_pair_loss
+
+    atlas = build_atlas(3, offset=0.4)
+    atlas.set_submap_pose_correction(
+        1, np.array([0, 0, 0.05], np.float32),
+        np.array([0.05, 0, 0], np.float32))
+    atlas.precompute_coordinates_for_alignment()
+    p = atlas.params
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    key = jax.random.PRNGKey(3)
+    coords = {s: atlas.coordinates_for_alignment(s, 1) for s in range(3)}
+    ctx = (jnp.asarray([s for s, _ in pairs], jnp.int32),
+           jnp.asarray([d for _, d in pairs], jnp.int32),
+           jnp.stack([coords[s][0] for s, _ in pairs]),
+           jnp.stack([coords[s][1] for s, _ in pairs]))
+    PN = ctx[2].shape[0] * ctx[2].shape[1]
+    chunk = 100                       # odd size -> padded tail chunk
+    assert PN > 2 * chunk
+
+    cases = [dict(kind="latent", level=1, align_loss="L2"),
+             dict(kind="latent", level=1, align_loss="cos"),
+             dict(kind="sdf", align_loss="GM"),
+             dict(kind="sdf", align_loss="L2", subsample_points=64)]
+    for case in cases:
+        kind = case.pop("kind")
+        kw = dict(align_weight=1.0, stability_thresh=0.1, **case)
+
+        monkeypatch.delenv("MISO_FLAT_ALIGN_CHUNK", raising=False)
+        full_fn = make_flat_pair_loss(kind, **kw)
+        monkeypatch.setenv("MISO_FLAT_ALIGN_CHUNK", str(chunk))
+        chunk_fn = make_flat_pair_loss(kind, **kw)
+        assert chunk_fn is not full_fn  # distinct cache entries
+
+        def total(fn, rot, tr):
+            p2 = p.replace(sub_rot_corr=rot, sub_trans_corr=tr)
+            return sum(jax.tree_util.tree_leaves(fn(p2, key, ctx)))
+
+        v_full, g_full = jax.value_and_grad(
+            lambda r, t: total(full_fn, r, t), argnums=(0, 1))(
+            p.sub_rot_corr, p.sub_trans_corr)
+        v_chunk, g_chunk = jax.value_and_grad(
+            lambda r, t: total(chunk_fn, r, t), argnums=(0, 1))(
+            p.sub_rot_corr, p.sub_trans_corr)
+        np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_full),
+                                   rtol=2e-5, atol=1e-7)
+        for ga, gb in zip(g_chunk, g_full):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=2e-4, atol=1e-6)
 
 
 def test_scanned_alignment_matches_loop():
