@@ -297,14 +297,39 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
         nz = (sq > 0).astype(v.dtype)
         return jnp.sqrt(jnp.where(sq > 0, sq, 1.0)) * nz
 
+    def src_terms(params: GridAtlasParams, ids_src, pts):
+        """Pose-INDEPENDENT per-point src-side terms: the src features /
+        SDF and the src-side mask factors (stability, truncation).
+
+        During alignment only the submap poses move; ``pts`` are
+        src-frame coordinates, so everything queried against the src
+        submap is loop-invariant.  The dispatcher precomputes these once
+        per align call (precompute_src below) instead of recomputing
+        them every solve iteration -- roughly half the loss body's query
+        work, plus the src decoder MLP when truncation is on."""
+        smask = jnp.ones((pts.shape[0], 1), pts.dtype)
+        if stability_thresh > 0:
+            mu_from = params.query_stability_per_point(ids_src, pts)[:, :1]
+            smask = smask * (mu_from > stability_thresh)
+        if kind == "latent":
+            end_ch = params.fdim * (level + 1)
+            if trunc_factor is not None:
+                sdf_from = params.forward_per_point(ids_src, pts)
+                cell = params.cell_sizes[level]
+                smask = smask * (jnp.abs(sdf_from) < trunc_factor * cell)
+            vals = params.query_feature_per_point(ids_src, pts)[:, :end_ch]
+        else:
+            vals = params.forward_per_point(ids_src, pts)
+        return vals, smask
+
     def point_sums(params: GridAtlasParams, R, t, chunk):
         """Per-point loss terms for one flat chunk -> partial per-pair
         sums ((P,) masked-term sum, (P,) mask count sum)."""
-        pair_of_point, ids_src, ids_dst, pts, mask = chunk
+        pair_of_point, ids_src, ids_dst, pts, mask, src_vals, src_mask = chunk
         P = R.shape[0]
+        mask = mask * src_mask
         world = se3.transform_points_by_id(pts, ids_src, R, t)
-        coords_to = jnp.einsum("nij,ni->nj", R[ids_dst], world - t[ids_dst],
-                               precision=jax.lax.Precision.HIGHEST)
+        coords_to = se3.inverse_transform_points_by_id(world, ids_dst, R, t)
         if use_bound:
             b = params.bounds[ids_dst]                          # (n, d, 2)
             inside = jnp.logical_and(coords_to >= b[..., 0],
@@ -313,20 +338,14 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
                                   keepdims=True).astype(pts.dtype)
         if stability_thresh > 0:
             mu_to = params.query_stability_per_point(ids_dst, coords_to)[:, :1]
-            mu_from = params.query_stability_per_point(ids_src, pts)[:, :1]
-            mask = mask * (mu_to > stability_thresh) \
-                * (mu_from > stability_thresh)
+            mask = mask * (mu_to > stability_thresh)
 
         def seg(x):  # (n,) per-point -> (P,) per-pair partial sums
             return jax.ops.segment_sum(x, pair_of_point, num_segments=P)
 
         if kind == "latent":
             end_ch = params.fdim * (level + 1)
-            if trunc_factor is not None:
-                sdf_from = params.forward_per_point(ids_src, pts)
-                cell = params.cell_sizes[level]
-                mask = mask * (jnp.abs(sdf_from) < trunc_factor * cell)
-            f_from = params.query_feature_per_point(ids_src, pts)[:, :end_ch]
+            f_from = src_vals
             f_to = params.query_feature_per_point(ids_dst,
                                                   coords_to)[:, :end_ch]
             c = f_from - f_to
@@ -342,8 +361,7 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
             else:
                 raise ValueError(f"Invalid align loss: {align_loss}")
         else:
-            c = (params.forward_per_point(ids_src, pts)
-                 - params.forward_per_point(ids_dst, coords_to))
+            c = src_vals - params.forward_per_point(ids_dst, coords_to)
             if align_loss == "L2":
                 term = seg((mask * c**2)[:, 0])
             elif align_loss == "L1":
@@ -354,11 +372,51 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
                 raise ValueError(f"Invalid align loss: {align_loss}")
         return term, seg(mask[:, 0])
 
+    def _chunked_map(fn, flat, PN, C):
+        """lax.map ``fn`` over C-sized chunks of the flat pytree (zero
+        padded tail), stacking the per-chunk outputs."""
+        pad = (-PN) % C
+        if pad:
+            flat = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), flat)
+        chunks = jax.tree_util.tree_map(
+            lambda a: a.reshape((PN + pad) // C, C, *a.shape[1:]), flat)
+        return jax.lax.map(fn, chunks)
+
+    def precompute_src(params: GridAtlasParams, ctx):
+        """(src_ids, dst_ids, coords, valid) -> 6-tuple ctx with the
+        pose-independent src terms appended ((P, N, Fc) values,
+        (P, N, 1) mask).  Run ONCE per align call by the dispatcher;
+        ``batched`` then skips every src-side query per iteration.
+        Chunked like the loss body to bound peak memory."""
+        src_ids, dst_ids, coords, valid = ctx[:4]
+        P, N, d = coords.shape
+        flat = (jnp.repeat(src_ids.astype(jnp.int32), N),
+                coords.reshape(P * N, d))
+        PN, C = P * N, flat_chunk
+        if PN > C:
+            vals, smask = _chunked_map(
+                lambda ch: src_terms(params, ch[0], ch[1]), flat, PN, C)
+            vals = vals.reshape(-1, vals.shape[-1])[:PN]
+            smask = smask.reshape(-1, 1)[:PN]
+        else:
+            vals, smask = src_terms(params, flat[0], flat[1])
+        return (src_ids, dst_ids, coords, valid,
+                vals.reshape(P, N, -1), smask.reshape(P, N, 1))
+
     def batched(params: GridAtlasParams, key, ctx):
-        src_ids, dst_ids, coords, valid = ctx
+        """ctx: 4-tuple (src-side terms computed inline, every call) or
+        the 6-tuple from ``precompute_src`` (loop-invariant src terms
+        reused across solve iterations -- the fast path)."""
+        src_ids, dst_ids, coords, valid = ctx[:4]
         P, N = coords.shape[0], coords.shape[1]
         src_ids = src_ids.astype(jnp.int32)
         dst_ids = dst_ids.astype(jnp.int32)
+        if len(ctx) >= 6:
+            src_vals, src_mask = ctx[4], ctx[5]
+        else:
+            src_vals = src_mask = None
         if subsample_points is not None and subsample_points < N:
             M = subsample_points
 
@@ -369,11 +427,29 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
             idx = jax.vmap(pick)(src_ids, dst_ids)             # (P, M)
             coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
             valid = jnp.take_along_axis(valid, idx[..., None], axis=1)
+            if src_vals is not None:
+                src_vals = jnp.take_along_axis(src_vals, idx[..., None],
+                                               axis=1)
+                src_mask = jnp.take_along_axis(src_mask, idx[..., None],
+                                               axis=1)
             N = M
+        ids_src_flat = jnp.repeat(src_ids, N)
+        pts_flat = coords.reshape(P * N, coords.shape[-1])
+        if src_vals is None:
+            if P * N > flat_chunk:
+                sv_flat, sm_flat = _chunked_map(
+                    lambda ch: src_terms(params, ch[0], ch[1]),
+                    (ids_src_flat, pts_flat), P * N, flat_chunk)
+                sv_flat = sv_flat.reshape(-1, sv_flat.shape[-1])[:P * N]
+                sm_flat = sm_flat.reshape(-1, 1)[:P * N]
+            else:
+                sv_flat, sm_flat = src_terms(params, ids_src_flat, pts_flat)
+        else:
+            sv_flat = src_vals.reshape(P * N, src_vals.shape[-1])
+            sm_flat = src_mask.reshape(P * N, 1)
         flat = (jnp.repeat(jnp.arange(P, dtype=jnp.int32), N),  # pair id
-                jnp.repeat(src_ids, N), jnp.repeat(dst_ids, N),
-                coords.reshape(P * N, coords.shape[-1]),
-                valid.reshape(P * N, 1))
+                ids_src_flat, jnp.repeat(dst_ids, N), pts_flat,
+                valid.reshape(P * N, 1), sv_flat, sm_flat)
         R, t = params.updated_submap_poses()
         PN, C = P * N, flat_chunk
         if PN > C:
@@ -387,16 +463,9 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
             # O(chunk) regardless of the pair count.  Segment sums are
             # associative, so only float summation order changes
             # (partial-sum accumulation vs one pass).
-            pad = (-PN) % C
-            if pad:
-                flat = jax.tree_util.tree_map(
-                    lambda a: jnp.concatenate(
-                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]), flat)
-            chunks = jax.tree_util.tree_map(
-                lambda a: a.reshape((PN + pad) // C, C, *a.shape[1:]), flat)
-            term, cnt = jax.lax.map(
+            term, cnt = _chunked_map(
                 jax.checkpoint(lambda ch: point_sums(params, R, t, ch)),
-                chunks)
+                flat, PN, C)
             term, cnt = term.sum(0), cnt.sum(0)
         else:
             term, cnt = point_sums(params, R, t, flat)
@@ -405,6 +474,9 @@ def make_flat_pair_loss(kind: str, level: Optional[int] = None,
             counts = counts * (params.fdim * (level + 1))
         return {name: jnp.sum(term / counts) * align_weight}
 
+    # Jitted once per loss factory (the factory itself is cached), so
+    # every align call's one-time src precompute is a cache hit.
+    batched.precompute_src = jax.jit(precompute_src)
     _VMAPPED_PAIR_LOSS_CACHE[cache_key] = batched
     return batched
 
@@ -472,13 +544,26 @@ def _make_align_step_solve(pair_loss_fn, batched_loss, submap_pairs, lr,
                                                lr=lr)
         return new_pose, new_opt, tl
 
-    def solve(pose, opt_state, full_params, ctx, mask_, keys):
+    def solve(pose, opt_state, stopped, full_params, ctx, mask_, keys,
+              it0, total):
+        """One bounded SEGMENT of the scanned alignment.
+
+        ``it0``/``total`` are traced scalars (global iteration offset and
+        true iteration count), so every segment reuses ONE executable:
+        the caller splits the key sequence into fixed-size segments and
+        threads (pose, opt_state, stopped) through.  Bounding the
+        per-dispatch iteration count keeps any single TPU program well
+        under the runtime watchdog -- an unbounded 50-iteration solve at
+        quad scale (45 pairs x 32k pts) ran >100 s in one dispatch and
+        hard-faulted the worker (~4 min device recovery)."""
         def body(carry, xs):
-            k, it = xs
+            k, it_local = xs
+            it = it0 + it_local
             pose, opt_state, stopped = carry
             new_pose, new_opt, tl = step(pose, opt_state, full_params,
                                          ctx, mask_, k)
-            live = jnp.logical_not(stopped)
+            # Padded tail iterations (it >= total) are never live.
+            live = jnp.logical_and(jnp.logical_not(stopped), it < total)
             pose_next = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(live, n, o), new_pose, pose)
             opt_next = jax.tree_util.tree_map(
@@ -490,10 +575,10 @@ def _make_align_step_solve(pair_loss_fn, batched_loss, submap_pairs, lr,
                 jnp.logical_and(live, it >= 1), rel < rel_change_thresh))
             return (pose_next, opt_next, stopped), tl
 
-        (pose, opt_state, _), tls = jax.lax.scan(
-            body, (pose, opt_state, jnp.asarray(False)),
+        (pose, opt_state, stopped), tls = jax.lax.scan(
+            body, (pose, opt_state, stopped),
             (keys, jnp.arange(keys.shape[0])))
-        return pose, opt_state, tls
+        return pose, opt_state, stopped, tls
 
     built = (jax.jit(step, donate_argnums=(1,)),
              jax.jit(solve, donate_argnums=(1,)))
@@ -564,25 +649,52 @@ def generic_align_multiple_submaps(
     stage_times: Dict[str, float] = {}
 
     if scan and not save_iterations and not verbose:
-        # One dispatch for the whole alignment: scan the step over the
-        # same key sequence the loop path would draw, freezing pose AND
-        # optimizer state once the rel change falls under threshold.
+        # Scanned dispatches over the same key sequence the loop path
+        # would draw, freezing pose AND optimizer state once the rel
+        # change falls under threshold.  The iteration axis is split
+        # into fixed-size SEGMENTS (one executable, reused): each
+        # segment is one bounded dispatch, so no single TPU program can
+        # run into the runtime watchdog, and the host checks the frozen
+        # flag between segments to stop early for real (on-device
+        # freeze still computes -- and discards -- each step).
+        T = num_iters + 1
+        seg = max(1, int(os.environ.get("MISO_ALIGN_SEG_ITERS", 10)))
         subs = []
-        for _ in range(num_iters + 1):
+        for _ in range(T):
             key, sub = jax.random.split(key)
             subs.append(sub)
+        pad = (-T) % seg
+        if pad:
+            subs.extend(subs[-1:] * pad)    # never live (it >= total)
         keys = jnp.stack(subs)
+        total = jnp.asarray(T, jnp.int32)
+        stopped = jnp.asarray(False)
 
-        t_d = time.perf_counter()
-        pose, opt_state, _ = solve(pose, opt_state, params, loss_ctx,
-                                   pose_mask, keys)
-        # dispatch >> block means tracing/compile (cache miss); block >>
-        # dispatch means device execution.  Recorded for the Fuser's
-        # stage report (VERDICT r3 weak #1).
-        stage_times["dispatch_sec"] = time.perf_counter() - t_d
+        debug_seg = os.environ.get("MISO_ALIGN_DEBUG")
+        stage_times["dispatch_sec"] = 0.0
+        stage_times["block_sec"] = 0.0
+        stage_times["segments_run"] = 0
+        for i in range(0, T, seg):
+            t_d = time.perf_counter()
+            pose, opt_state, stopped, _ = solve(
+                pose, opt_state, stopped, params, loss_ctx, pose_mask,
+                keys[i:i + seg], jnp.asarray(i, jnp.int32), total)
+            # dispatch >> block means tracing/compile (cache miss);
+            # block >> dispatch means device execution.  Recorded for
+            # the Fuser's stage report (VERDICT r3 weak #1).
+            d_sec = time.perf_counter() - t_d
+            stage_times["dispatch_sec"] += d_sec
+            t_b = time.perf_counter()
+            done = bool(stopped)            # syncs this segment
+            b_sec = time.perf_counter() - t_b
+            stage_times["block_sec"] += b_sec
+            stage_times["segments_run"] += 1
+            if debug_seg:
+                print(f"    align seg it0={i} dispatch {d_sec*1e3:.1f} ms "
+                      f"block {b_sec*1e3:.1f} ms stopped={done}", flush=True)
+            if done:
+                break
         jax.block_until_ready(pose)
-        stage_times["block_sec"] = (time.perf_counter() - t_d
-                                    - stage_times["dispatch_sec"])
     else:
         prev = None
         for it in range(num_iters + 1):
@@ -728,7 +840,7 @@ def align_multiple_submaps_hierarchical(
     all_pairs = atlas.num_submaps * (atlas.num_submaps - 1) // 2
     pad_pairs_to = 1 << max(all_pairs - 1, 0).bit_length()
 
-    def pair_ctx(coords):
+    def pair_ctx(coords, loss_fn=None):
         from miso_tpu.parallel.sharding import pad_pair_ctx, shard_pair_ctx
         t_c = time.perf_counter()
         src = jnp.asarray([s for s, _ in pairs], jnp.int32)
@@ -738,6 +850,12 @@ def align_multiple_submaps_hierarchical(
         ctx = pad_pair_ctx((src, dst, cf, vf), max(pad_pairs_to, 1))
         if mesh is not None:
             ctx = shard_pair_ctx(ctx, mesh, pair_axis)
+        if loss_fn is not None and hasattr(loss_fn, "precompute_src"):
+            # One-time pose-independent src terms (features/SDF +
+            # stability/trunc mask): queried once here instead of every
+            # solve iteration -- halves the per-iteration atlas gather
+            # traffic, the dominant align cost at many submaps.
+            ctx = loss_fn.precompute_src(atlas.params, ctx)
         jax.block_until_ready(ctx[2])
         ctx_secs.append(time.perf_counter() - t_c)
         return ctx
@@ -755,7 +873,7 @@ def align_multiple_submaps_hierarchical(
                 align_loss=align_loss, use_bound=use_bound,
                 stability_thresh=stability_thresh,
                 subsample_points=subsample_points)
-            ctx = pair_ctx(coords)
+            ctx = pair_ctx(coords, pair_loss)
         else:
             def pair_loss(p, s, d, key, ctx, _level=level):
                 cf, vf = ctx[s]
@@ -787,7 +905,7 @@ def align_multiple_submaps_hierarchical(
                 "sdf", align_weight=align_weight, align_loss=sdf_align_loss,
                 use_bound=use_bound, stability_thresh=stability_thresh,
                 gm_scale_sdf=gm_scale_sdf, subsample_points=subsample_points)
-            ctx = pair_ctx(coords)
+            ctx = pair_ctx(coords, pair_loss_sdf)
         else:
             def pair_loss_sdf(p, s, d, key, ctx):
                 cf, vf = ctx[s]

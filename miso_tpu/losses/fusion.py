@@ -91,10 +91,8 @@ def posed_sdf_loss_3d_submap(params, batch, key, mode="submap",
         sub_of_point = params.kf_to_submap[ids]                   # (N,)
         R_sk, t_sk = params.updated_kf_poses_in_submap()
         loc = params.kf_to_local[ids]
-        Rp = R_sk[sub_of_point, loc]
-        tp = t_sk[sub_of_point, loc]
-        coords_submap = jnp.einsum("nij,nj->ni", Rp, batch["coords_frame"],
-                                   precision=jax.lax.Precision.HIGHEST) + tp
+        coords_submap = se3.transform_points_by_id2(
+            batch["coords_frame"], sub_of_point, loc, R_sk, t_sk)
         pred = params.forward_per_point(sub_of_point, coords_submap)  # (N, 1)
 
         def seg(v):  # (N,) per-point terms -> (S,) per-submap sums

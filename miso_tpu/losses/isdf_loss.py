@@ -123,10 +123,8 @@ def isdf_loss_submap(params, batch, key, trunc_dist=0.15, sdf_weight=1.0,
     sub_of_point = params.kf_to_submap[ids]
     R_sk, t_sk = params.updated_kf_poses_in_submap()
     loc = params.kf_to_local[ids]
-    Rp = R_sk[sub_of_point, loc]
-    tp = t_sk[sub_of_point, loc]
-    coords_submap = jnp.einsum("nij,nj->ni", Rp, batch["coords_frame"],
-                               precision=jax.lax.Precision.HIGHEST) + tp
+    coords_submap = se3.transform_points_by_id2(
+        batch["coords_frame"], sub_of_point, loc, R_sk, t_sk)
     out = {}
     # Per-point own-submap queries + segment sums (O(N) compute, flat in
     # the number of submaps; see losses/fusion.py submap mode).  The

@@ -157,16 +157,30 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
                                x: jnp.ndarray, bounds: jnp.ndarray,
                                sizes: jnp.ndarray,
                                spatial: Optional[Sequence[int]] = None,
-                               fdim: Optional[int] = None) -> jnp.ndarray:
+                               fdim: Optional[int] = None,
+                               via: str = "auto") -> jnp.ndarray:
     """Interpolate each point against ITS OWN submap's grid.
 
     The stacked-atlas analogue of :func:`grid_interpolate` for per-point
-    submap assignment: one gather over the flattened (S, g..., F)
-    storage, with per-point bounds / logical sizes folded into the
-    columnar index math.  O(N) compute regardless of the number of
-    submaps -- replaces per-submap loops that evaluate all N points
-    against every submap (reference loss.py:415-514 nests Python loops
-    over submaps/keyframes instead).
+    submap assignment -- replaces per-submap loops that evaluate all N
+    points against every submap (reference loss.py:415-514 nests Python
+    loops over submaps/keyframes instead).
+
+    Two executions, selected by ``via`` (identical values and grads):
+
+    * ``"gather"`` (default): ONE gather over the flattened (S, g..., F)
+      storage with per-point bounds / logical sizes folded into the
+      columnar index math.  O(N) compute regardless of S.  Measured on
+      v5e at atlas scale (10 x 2.6M cells, 1M random-submap points,
+      all arrays as jit ARGUMENTS): 0.041 ms fwd / 0.026 ms w/ coord
+      grad -- random access into a 500 MB stacked table is NOT slow;
+      an earlier ~250 ms/1M reading came from benchmarking with eager
+      feedback ops + closure-baked constants (CLAUDE.md rules 1-2).
+    * ``"slots"``: lax.scan over the S slots; each step is one
+      single-grid sized interpolation of ALL N points accumulated under
+      ``sub_ids == s``.  O(S*N) compute; measured equal to "gather" at
+      S=10 (0.048 ms).  Kept as a parity/fallback execution shape.
+    * ``"auto"``: "gather".
 
     Args:
       stacked: (S, g0..g_{d-1}, F) padded per-submap grids (one level),
@@ -179,6 +193,11 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
 
     Returns (N, F); differentiable to any order like grid_interpolate.
     """
+    if via == "auto":
+        via = "gather"
+    if via == "slots":
+        return _per_point_slotscan(stacked, sub_ids, x, bounds, sizes,
+                                   spatial, fdim)
     d = x.shape[-1]
     if spatial is None:
         spatial = stacked.shape[1:-1]
@@ -222,13 +241,35 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
     # ROW gather + fused einsum -- the exact grid_interpolate shape.
     # reshape(-1, F) on the folded rank-3 storage is order-preserving
     # (free), and XLA fuses the (C, N, F) corner intermediate into the
-    # weighted reduction, so nothing lane-padded materializes.  Measured
-    # on v5e at atlas scale (8 x 2.6M cells, 1M random-submap points):
-    # 263 ms/step vs 614 ms for the previous per-element gather
-    # ((C, F, N) indices), and ~10x faster to compile (4.6 s vs 81 s).
+    # weighted reduction, so nothing lane-padded materializes.
     flat = stacked.reshape(-1, F)
     cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
     return jnp.einsum("cn,cnf->nf", w, cf)
+
+
+def _per_point_slotscan(stacked, sub_ids, x, bounds, sizes, spatial, fdim):
+    """``grid_interpolate_per_point`` via a slot scan (see its docstring).
+
+    Exactly one slot matches each point's sub_id, so the masked
+    accumulation equals the own-submap gather bit-for-bit (each slot's
+    interpolation already applies that slot's logical sizes and zeros
+    padding)."""
+    if spatial is None:
+        spatial = stacked.shape[1:-1]
+    F = int(fdim) if fdim is not None else stacked.shape[-1]
+    N = x.shape[0]
+
+    def body(acc, slot):
+        sid, grid_s, bound_s, size_s = slot
+        f = grid_interpolate(grid_s, x, bound_s, size=size_s,
+                             spatial=spatial, fdim=F)
+        sel = (sub_ids == sid).astype(f.dtype)
+        return acc + sel[:, None] * f, None
+
+    slots = (jnp.arange(stacked.shape[0], dtype=jnp.int32),
+             stacked, bounds, sizes)
+    out, _ = jax.lax.scan(body, jnp.zeros((N, F), x.dtype), slots)
+    return out
 
 
 def multi_level_interpolate(

@@ -154,16 +154,60 @@ def transform_points_from(points, R, t):
 
 
 def transform_points_by_id(points, ids, R, t):
-    """Per-point pose transform: one gather + einsum, no per-frame loop.
+    """Per-point pose transform: columnar gathers, no per-frame loop.
 
     Replaces the reference's per-keyframe Python loop
     (`grid_opt/loss.py:208-217` etc.).
 
+    COLUMNAR (CLAUDE.md rule 3): nine (N,) 1-axis gathers R[ids, j, k]
+    and fused multiply-adds.  The obvious ``einsum("nij,nj->ni",
+    R[ids], points)`` materializes an (N, 3, 3) gather and contracts
+    over the minor dim -- measured 1.97 ms / 1M points AND a
+    pathological several-minute Mosaic compile on v5e; the columnar
+    form is pure (N,)-lane work.
+
     points: (N, 3), ids: (N,) int frame indices, R: (K, 3, 3), t: (K, 3).
     """
-    Rp = R[ids]  # (N, 3, 3)
-    tp = t[ids]  # (N, 3)
-    return jnp.einsum("nij,nj->ni", Rp, points, precision=_HI) + tp
+    cols = []
+    for j in range(3):
+        acc = t[ids, j]
+        for k in range(3):
+            acc = acc + R[ids, j, k] * points[:, k]
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
+
+
+def transform_points_by_id2(points, ids_a, ids_b, R, t):
+    """Two-level per-point pose transform: ``R[a, b] @ p + t[a, b]``
+    with per-point (submap, local-kf) index pairs, columnar like
+    :func:`transform_points_by_id` (nine (N,) gathers + multiply-adds;
+    the gathered-(N,3,3) einsum form hits a pathological minor-dim
+    layout on TPU).
+
+    points: (N, 3); ids_a/ids_b: (N,) ints; R: (S, K, 3, 3), t: (S, K, 3).
+    """
+    cols = []
+    for j in range(3):
+        acc = t[ids_a, ids_b, j]
+        for k in range(3):
+            acc = acc + R[ids_a, ids_b, j, k] * points[:, k]
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
+
+
+def inverse_transform_points_by_id(points, ids, R, t):
+    """Per-point INVERSE pose transform: ``R[ids]^T (points - t[ids])``
+    columnar (see transform_points_by_id).  Maps world points into each
+    point's own frame -- the align losses' dst-side coordinate map.
+    """
+    d = [points[:, k] - t[ids, k] for k in range(3)]
+    cols = []
+    for j in range(3):
+        acc = R[ids, 0, j] * d[0]
+        for k in range(1, 3):
+            acc = acc + R[ids, k, j] * d[k]
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
 
 
 def transform_poses_to(R_frames, t_frames, R, t):

@@ -395,6 +395,98 @@ def test_flat_pair_loss_chunked_matches_unchunked(monkeypatch):
                                        rtol=2e-4, atol=1e-6)
 
 
+def test_flat_pair_loss_precompute_src_matches_inline(monkeypatch):
+    """The 6-tuple ctx from precompute_src (pose-independent src
+    features/SDF + src-side mask hoisted out of the solve loop) gives
+    the same value AND pose gradient as the 4-tuple inline path, for
+    every kind, with subsampling, truncation, and tiny chunks."""
+    from miso_tpu.align.miso import make_flat_pair_loss
+
+    atlas = build_atlas(3, offset=0.4)
+    atlas.set_submap_pose_correction(
+        1, np.array([0, 0, 0.05], np.float32),
+        np.array([0.05, 0, 0], np.float32))
+    atlas.precompute_coordinates_for_alignment()
+    p = atlas.params
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    key = jax.random.PRNGKey(3)
+    coords = {s: atlas.coordinates_for_alignment(s, 1) for s in range(3)}
+    ctx4 = (jnp.asarray([s for s, _ in pairs], jnp.int32),
+            jnp.asarray([d for _, d in pairs], jnp.int32),
+            jnp.stack([coords[s][0] for s, _ in pairs]),
+            jnp.stack([coords[s][1] for s, _ in pairs]))
+
+    cases = [dict(kind="latent", level=1, align_loss="L2",
+                  trunc_factor=3.0),
+             dict(kind="latent", level=1, align_loss="cos",
+                  subsample_points=64),
+             dict(kind="sdf", align_loss="GM"),
+             dict(kind="sdf", align_loss="L2", subsample_points=64)]
+    for chunk_env in (None, "100"):
+        if chunk_env is None:
+            monkeypatch.delenv("MISO_FLAT_ALIGN_CHUNK", raising=False)
+        else:
+            monkeypatch.setenv("MISO_FLAT_ALIGN_CHUNK", chunk_env)
+        for case in [dict(c) for c in cases]:
+            kind = case.pop("kind")
+            fn = make_flat_pair_loss(
+                kind, align_weight=1.0, stability_thresh=0.1, **case)
+            ctx6 = fn.precompute_src(p, ctx4)
+            assert len(ctx6) == 6 and ctx6[4].shape[:2] == ctx4[2].shape[:2]
+
+            def total(rot, tr, ctx):
+                p2 = p.replace(sub_rot_corr=rot, sub_trans_corr=tr)
+                return sum(jax.tree_util.tree_leaves(fn(p2, key, ctx)))
+
+            v4, g4 = jax.value_and_grad(total, argnums=(0, 1))(
+                p.sub_rot_corr, p.sub_trans_corr, ctx4)
+            v6, g6 = jax.value_and_grad(total, argnums=(0, 1))(
+                p.sub_rot_corr, p.sub_trans_corr, ctx6)
+            np.testing.assert_allclose(np.asarray(v6), np.asarray(v4),
+                                       rtol=2e-5, atol=1e-7)
+            for ga, gb in zip(g6, g4):
+                np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                           rtol=2e-4, atol=1e-6)
+
+
+def test_scanned_alignment_segments_match_one_dispatch(monkeypatch):
+    """The segmented solve (bounded dispatches, host early-exit between
+    segments -- the watchdog guard) is bit-identical to one whole-run
+    dispatch, across segment sizes that divide and don't divide the
+    iteration count."""
+    from miso_tpu.align.miso import (generic_align_multiple_submaps,
+                                     make_flat_pair_loss)
+
+    def run(seg):
+        monkeypatch.setenv("MISO_ALIGN_SEG_ITERS", str(seg))
+        atlas = build_atlas(3, offset=0.4)
+        atlas.set_submap_pose_correction(
+            1, np.array([0, 0, 0.04], np.float32),
+            np.array([0.04, 0, 0], np.float32))
+        atlas.precompute_coordinates_for_alignment()
+        coords = {s: atlas.coordinates_for_alignment(s, 1) for s in range(3)}
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        ctx = (jnp.asarray([s for s, _ in pairs], jnp.int32),
+               jnp.asarray([d for _, d in pairs], jnp.int32),
+               jnp.stack([coords[s][0] for s, _ in pairs]),
+               jnp.stack([coords[s][1] for s, _ in pairs]))
+        fn = make_flat_pair_loss("latent", level=1, align_weight=1.0)
+        ctx = fn.precompute_src(atlas.params, ctx)
+        info = generic_align_multiple_submaps(
+            atlas, fn, num_iters=11, lr=5e-3, rel_change_thresh=1e-3,
+            batched_loss=True, loss_ctx=ctx, seed=5)
+        return (np.asarray(atlas.params.sub_rot_corr),
+                np.asarray(atlas.params.sub_trans_corr), info)
+
+    r_big, t_big, info_big = run(64)       # one segment covers all
+    assert info_big["segments_run"] == 1
+    for seg in (3, 5, 12):
+        r_s, t_s, info_s = run(seg)
+        np.testing.assert_array_equal(r_s, r_big)
+        np.testing.assert_array_equal(t_s, t_big)
+        assert 1 <= info_s["segments_run"] <= -(-12 // seg)
+
+
 def test_scanned_alignment_matches_loop():
     """The scanned alignment driver (one dispatch, on-device rel-change
     freeze) equals the per-iteration host loop exactly -- same key

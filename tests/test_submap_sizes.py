@@ -160,6 +160,24 @@ def test_grid_interpolate_per_point_matches_per_submap(rng):
         got = interp.grid_interpolate_per_point(
             p.features[level], sub_ids, x, p.bounds, p.sizes[level],
             spatial=p.pad_spatial[level], fdim=p.fdim)
+        # The slot-scan execution (TPU default) must agree with the
+        # flat-gather execution (CPU default) in value AND grad.
+        slots = interp.grid_interpolate_per_point(
+            p.features[level], sub_ids, x, p.bounds, p.sizes[level],
+            spatial=p.pad_spatial[level], fdim=p.fdim, via="slots")
+        np.testing.assert_allclose(np.asarray(slots), np.asarray(got),
+                                   rtol=1e-6, atol=1e-6)
+
+        def total(feats, xx, via):
+            return jnp.sum(jnp.sin(interp.grid_interpolate_per_point(
+                feats, sub_ids, xx, p.bounds, p.sizes[level],
+                spatial=p.pad_spatial[level], fdim=p.fdim, via=via)))
+        g_g = jax.grad(total, argnums=(0, 1))(p.features[level], x, "gather")
+        g_s = jax.grad(total, argnums=(0, 1))(p.features[level], x, "slots")
+        for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                        jax.tree_util.tree_leaves(g_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
         for s in range(2):
             want = interp.grid_interpolate(
                 p.features[level][s], x, p.bounds[s], size=p.sizes[level][s],
