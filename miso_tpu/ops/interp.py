@@ -148,9 +148,30 @@ def grid_interpolate(grid: jnp.ndarray, x: jnp.ndarray, bound: jnp.ndarray,
     F = int(fdim) if fdim is not None else grid.shape[-1]
     N = x.shape[0]
     lin, w = corner_indices_and_weights(x, bound, spatial, size)
-    flat = grid.reshape(-1, F)
-    cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
-    return jnp.einsum("cn,cnf->nf", w, cf)
+    return _gather_lerp_channels(grid, lin, w, F)
+
+
+def _gather_lerp_channels(grid, lin, w, F):
+    """Weighted corner gather, one 1-D gather PER CHANNEL.
+
+    ``lin``: (2^d, N) int32 cell indices, ``w``: (2^d, N) weights.
+
+    Never builds a (cells, F) 2-D view of the table: XLA materializes
+    that reshape as an HLO temp tiled T(8, 128) -- a 32x lane-padding
+    blowup (a 484 MB quad-scale atlas became a 15.1 GB temp, OOMing the
+    compile outright at capacity 12 and silently costing ~0.5 s per
+    chunk where it fit).  A 1-D table view has no padding to inflate,
+    and per-channel (N,)-shaped gathers are the columnar fast path
+    (CLAUDE.md rule 3).  The per-channel weighted sums replace the old
+    einsum over a (2^d, N, F) corner intermediate.
+    """
+    flat = grid.reshape(-1)
+    linF = lin * F
+    outs = []
+    for c in range(F):
+        cf = jnp.take(flat, (linF + c).reshape(-1), axis=0)
+        outs.append(jnp.sum(w * cf.reshape(lin.shape), axis=0))
+    return jnp.stack(outs, axis=-1)
 
 
 def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
@@ -238,13 +259,7 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
         w_all.append(w * ok.astype(w.dtype))
     lin = jnp.stack(lin_all)
     w = jnp.stack(w_all)
-    # ROW gather + fused einsum -- the exact grid_interpolate shape.
-    # reshape(-1, F) on the folded rank-3 storage is order-preserving
-    # (free), and XLA fuses the (C, N, F) corner intermediate into the
-    # weighted reduction, so nothing lane-padded materializes.
-    flat = stacked.reshape(-1, F)
-    cf = jnp.take(flat, lin.reshape(-1), axis=0).reshape(2 ** d, N, F)
-    return jnp.einsum("cn,cnf->nf", w, cf)
+    return _gather_lerp_channels(stacked, lin, w, F)
 
 
 def _per_point_slotscan(stacked, sub_ids, x, bounds, sizes, spatial, fdim):
