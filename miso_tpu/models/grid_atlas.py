@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import copy
 import functools
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -931,8 +932,27 @@ class GridAtlas:
             @partial(jax.jit, static_argnames=("shape", "P", "thresh"))
             def _jit_align_coords(params, s, key, shape, P, thresh):
                 verts = interp.vertex_positions(shape, params.bounds[s])
-                feat = params.query_feature_submap(s, verts)
-                norm = jnp.linalg.norm(feat, axis=1)
+                # Chunk the feature-norm pass: a fine quad-scale level
+                # is ~21M vertices, and one flat query's 8-corner
+                # gather intermediate on top of a capacity-10 stacked
+                # atlas hard-faults the TPU worker (HBM blowup; same
+                # class as MISO_FLAT_ALIGN_CHUNK in align/miso.py).
+                # The (Nv,) score stays flat -- only the gather-heavy
+                # norm computation is scanned.
+                nv = verts.shape[0]
+                ch = int(os.environ.get("MISO_ALIGN_COORD_CHUNK",
+                                        str(1 << 19)))
+                if nv > ch:
+                    k = -(-nv // ch)
+                    vpad = jnp.concatenate(
+                        [verts, jnp.zeros((k * ch - nv, 3), verts.dtype)])
+                    norm = jax.lax.map(
+                        lambda v: jnp.linalg.norm(
+                            params.query_feature_submap(s, v), axis=1),
+                        vpad.reshape(k, ch, 3)).reshape(-1)[:nv]
+                else:
+                    feat = params.query_feature_submap(s, verts)
+                    norm = jnp.linalg.norm(feat, axis=1)
                 ok = (norm > thresh).astype(jnp.float32)
                 # top-P by (valid, random) -> a random P-subset of the
                 # valid vertices, padded with invalid rows when fewer.
