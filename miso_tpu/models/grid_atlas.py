@@ -869,9 +869,28 @@ class GridAtlas:
             def _jit_submap_overlap(params, src, dst, shape):
                 verts = interp.vertex_positions(shape, params.bounds[src])
                 R, t = params.updated_submap_poses()
-                world = se3.transform_points_to(verts, R[src], t[src])
-                local = se3.transform_points_from(world, R[dst], t[dst])
-                return jnp.mean(se3.coords_in_bound(local, params.bounds[dst]))
+
+                def _frac(v):
+                    world = se3.transform_points_to(v, R[src], t[src])
+                    local = se3.transform_points_from(world, R[dst], t[dst])
+                    return jnp.sum(se3.coords_in_bound(local,
+                                                       params.bounds[dst]))
+
+                # Chunked like _jit_align_coords: one fused body over a
+                # multi-million-vertex fine level hard-faults the TPU
+                # worker (empirical ~1e6-point limit, CLAUDE.md).
+                nv = verts.shape[0]
+                ch = int(os.environ.get("MISO_ALIGN_COORD_CHUNK",
+                                        str(1 << 19)))
+                if nv > ch:
+                    k = -(-nv // ch)
+                    vpad = jnp.concatenate(
+                        [verts, jnp.full((k * ch - nv, 3), 1e30,
+                                         verts.dtype)])  # pad out of bound
+                    hits = jnp.sum(jax.lax.map(_frac, vpad.reshape(k, ch, 3)))
+                else:
+                    hits = _frac(verts)
+                return hits / nv
         shape = tuple(self._submap_shapes[src][-1])
         frac = _jit_submap_overlap(self.params, jnp.int32(src),
                                    jnp.int32(dst), shape)
