@@ -53,6 +53,104 @@ def pretrain_decoder_synthetic(mesh_gt, cfg_model, trunc_dist, epochs=200):
                      model, loss_fn, ds)
     return tr.train().decoder
 
+def pretrain_encoders_synthetic(dec, cfg_model, trunc_dist, scene="quad",
+                                epochs=150, seed=0):
+    """Pretrain per-level feature encoders (amortized submap init,
+    reference training/train_encoders.py + encoder.py:333-401) on
+    held-out synthetic scenes of the same family (seeds != the run's
+    scene seed 0), sharing the run's pretrained decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from miso_tpu.datasets.sequence import (SdfSequence, circuit_trajectory,
+                                            orbit_trajectory)
+    from miso_tpu.datasets.shapes import quad_scene, room_scene
+    from miso_tpu.models.base import tree_full_mask, tree_zero_mask
+    from miso_tpu.models.encoder import (encoder_pretrain_loss,
+                                         feature_prediction_init)
+    from miso_tpu.models.grid_net import create_grid_net
+    from miso_tpu.native import TriangleMesh
+    from miso_tpu.train.optim import masked_adam_init, masked_adam_update
+
+    fdim = int(cfg_model["grid"]["feature_dim"])
+    n_levels = int(cfg_model["grid"]["n_levels"])
+    scenes = []
+    for i in range(2):
+        if scene == "quad":
+            verts, tris = quad_scene(40.0, seed=seed + 1 + i,
+                                     path_half_extent=14.0)
+            R, t = circuit_trajectory(14.0, 1.5, 24, laps=1.0, wobble=0.3)
+            kw = dict(scan_pattern="lidar", width=192, height=64,
+                      voxel_size=0.15)
+        else:
+            verts, tris = room_scene(8.0 + i, seed=seed + 1 + i)
+            R, t = orbit_trajectory([0, 0, 0], 2.5, 1.6, 24,
+                                    look_at=[0, 0, -0.5])
+            kw = {}
+        scenes.append((verts, tris, R, t, kw))
+    # One shared bound for every pretrain scene: identical grid table
+    # shapes mean the jitted step compiles ONCE per level instead of
+    # once per (level, scene) — on the tunnel each compile is tens of
+    # seconds, so this dominates pretrain wall-clock.
+    bound = np.stack([np.min([v.min(0) for v, *_ in scenes], 0) - 1.0,
+                      np.max([v.max(0) for v, *_ in scenes], 0) + 1.0],
+                     axis=1)
+    datasets, grids = [], []
+    key = jax.random.PRNGKey(seed)
+    for i, (verts, tris, R, t, kw) in enumerate(scenes):
+        mesh = TriangleMesh(verts, tris)
+        ds = SdfSequence(mesh, R, t, frame_samples=2**11,
+                         frame_batchsize=512, trunc_dist=trunc_dist,
+                         near_surface_n=2, near_surface_std=0.25,
+                         free_space_n=1, behind_surface_n=1, seed=i, **kw)
+        datasets.append(ds)
+        c2 = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in cfg_model.items()}
+        c2["pose"] = {"optimize": False, "num_poses": len(R)}
+        key, sub = jax.random.split(key)
+        g = create_grid_net(sub, c2, bound=bound)
+        g = g.replace(decoder=dec, decoder_fixed=True,
+                      Rwk=jnp.asarray(ds.R_gt), twk=jnp.asarray(ds.t_gt))
+        grids.append(g)
+    key, *ks = jax.random.split(key, n_levels + 1)
+    enc_params = [feature_prediction_init(k, fdim, 3) for k in ks]
+
+    def make_step(target_level):
+        # The key splits INSIDE the jitted step (returning the carry key):
+        # an eager host-side jax.random.split costs ~0.1-0.2 s/epoch on
+        # the remote-device transport, dominating pretrain wall-clock.
+        def step(enc, opt, grid, batch, k, lr):
+            k, sub = jax.random.split(k)
+
+            def obj(enc):
+                d = encoder_pretrain_loss(enc, grid, batch, sub, target_level,
+                                          trunc_dist=trunc_dist, pred_std=1e-3)
+                return sum(jnp.mean(v) for v in d.values())
+
+            loss, grads = jax.value_and_grad(obj)(enc)
+            mask = [tree_full_mask(e) if l == target_level else tree_zero_mask(e)
+                    for l, e in enumerate(enc)]
+            new_e, new_o = masked_adam_update(grads, opt, enc, mask, lr=lr)
+            return new_e, new_o, k, loss
+
+        return jax.jit(step)
+
+    rng = np.random.default_rng(seed)
+    for level in range(n_levels):
+        step = make_step(level)
+        opt = masked_adam_init(enc_params)
+        k = jax.random.PRNGKey(level)
+        for _ in range(epochs):
+            i = int(rng.integers(len(datasets)))
+            batch = {kk: np.asarray(v)
+                     for kk, v in datasets[i].sample(rng).items()}
+            enc_params, opt, k, loss = step(enc_params, opt, grids[i], batch,
+                                            k, np.float32(1e-3))
+        print(f"  encoder level {level}: pretrain loss {float(loss):.3e}",
+              flush=True)
+    return enc_params
+
+
 def _json_safe(x):
     """Recursively cast jnp/np scalars in nested dicts for json.dump."""
     if isinstance(x, dict):
@@ -92,6 +190,16 @@ def main():
     p.add_argument("--max_frames", type=int, default=None,
                    help="stop the SLAM loop after this many frames "
                         "(diagnostics only)")
+    p.add_argument("--init_mode", default="zero", choices=["zero", "encode"],
+                   help="submap feature init at spawn: 'encode' uses the "
+                        "amortized encoder one-shot prediction "
+                        "(local_opt.py:17-54) + a shorter init burst")
+    p.add_argument("--init_iters_encode", type=int, default=None,
+                   help="init mapping iterations after an encoder init "
+                        "(default init_iterations // 3)")
+    p.add_argument("--encoder_cache", default=None,
+                   help="reuse pretrained per-level encoders across runs "
+                        "('' disables; default /tmp/ncd_synth_encoder_<scene>.npz)")
     p.add_argument("--decoder_cache", default=None,
                    help="reuse the synthetic pretrained decoder across runs"
                         " ('' disables; default /tmp/ncd_synth_decoder_<scene>.npz)")
@@ -259,6 +367,35 @@ def main():
                 save_pytree(cache, dec)
             print(f"decoder pretrain {time.time() - t0:.1f}s", flush=True)
         cfg["model"]["decoder"]["fix"] = True
+    encoder = None
+    if args.synthetic and args.init_mode == "encode":
+        from miso_tpu.models.encoder import Encoder
+        from miso_tpu.train.checkpoint import load_pytree, save_pytree
+
+        cache = args.encoder_cache
+        if cache is None:
+            cache = f"/tmp/ncd_synth_encoder_{args.scene}.npz"
+        enc = Encoder({"model": cfg["model"]}, trunc_dist=0.5)
+        loaded = False
+        if cache and os.path.exists(cache):
+            try:
+                enc.level_params = list(load_pytree(
+                    cache, like=tuple(enc.level_params)))
+                loaded = True
+                print(f"encoders loaded from {cache}", flush=True)
+            except Exception:
+                pass
+        if not loaded:
+            t0 = time.time()
+            enc.level_params = list(pretrain_encoders_synthetic(
+                dec, cfg["model"], 0.5, scene=args.scene))
+            if cache:
+                save_pytree(cache, tuple(enc.level_params))
+            print(f"encoder pretrain {time.time() - t0:.1f}s", flush=True)
+        encoder = enc
+        cfg["system"]["submap_init_mode"] = "encode"
+        if args.init_iters_encode:
+            cfg["mapping"]["init_iterations_encode"] = args.init_iters_encode
     atlas = GridAtlas(cfg["model"],
                       max_kfs_per_submap=cfg["system"]["submap_size"],
                       capacity=cfg["system"].get("submap_capacity"))
@@ -327,7 +464,7 @@ def main():
     fuser = None
     t_start = time.time()
     system = System(atlas, ds_track, ds_map, cfg,
-                    R_world_origin=R0, t_world_origin=t0)
+                    R_world_origin=R0, t_world_origin=t0, encoder=encoder)
     if expected_submaps > 1:
         fuser = Fuser(atlas, ds_map, cfg)
         fuser._prewarmed_slots = min(
@@ -412,6 +549,12 @@ def main():
                        if atlas.num_submaps > 1 else None),
                    "num_frames": n_frames,
                    "num_submaps": atlas.num_submaps,
+                   "init_mode": args.init_mode,
+                   "init_iterations": cfg["mapping"].get("init_iterations"),
+                   "init_iterations_encode":
+                       system.init_iters_encode
+                       if args.init_mode == "encode" else None,
+                   "encoder_info": _json_safe(system.encoder_info),
                    "frame_profile": profile}, f, indent=2)
     # Final-state checkpoint: post-mortem meshing/eval without a re-run.
     system.save_checkpoint(os.path.join(args.save_dir, "ckpt_final.npz"))

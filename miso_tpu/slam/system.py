@@ -53,7 +53,8 @@ def quantized_local_bound(world_bound, t_anchor) -> np.ndarray:
 class System:
     def __init__(self, model: GridAtlas, dataset_track: SubmapDataset,
                  dataset_map: SubmapDataset, cfg: Dict,
-                 R_world_origin=None, t_world_origin=None, verbose=True):
+                 R_world_origin=None, t_world_origin=None, verbose=True,
+                 encoder=None):
         assert model.num_submaps == 0, "Input grid atlas is not empty."
         self.model = model
         self.cfg = cfg
@@ -67,6 +68,19 @@ class System:
         self.map_iters = cfg["mapping"].get("iters_per_frame", 15)
         self.map_level_iters = cfg["mapping"].get("level_iters_per_frame", 5)
         self.init_iters = cfg["mapping"].get("init_iterations", 50)
+        # Amortized submap initialization (the MISO encoder,
+        # local_opt.py:17-54): when an Encoder is passed and
+        # system.submap_init_mode == "encode", new submaps start from the
+        # encoder's one-shot feature prediction on the anchor KF's
+        # observations, and the init mapping burst shrinks to
+        # mapping.init_iterations_encode (default init_iterations // 3).
+        self.encoder = encoder
+        self.init_mode = cfg["system"].get("submap_init_mode", "zero")
+        self.init_iters_encode = cfg["mapping"].get(
+            "init_iterations_encode", max(self.init_iters // 3, 1))
+        self.encoder_info = []  # per-spawn {'encoder_time': s}
+        self._enc_rng = np.random.default_rng(
+            cfg["system"].get("encoder_seed", 17))
         self.init_odom = cfg["system"].get("init_odom", "external")
         self.log_dir = cfg["system"].get("log_dir", "./results/default")
         # Per-frame stage breakdown (cfg system.profile: true).  The
@@ -120,6 +134,46 @@ class System:
         """Keep tracker and mapper on the same grid object."""
         self.mapper.grid = self.tracker.grid
 
+    def _encode_init_current_submap(self):
+        """One-shot amortized init of the fresh submap's features from
+        the anchor KF's observations (reference local_opt.py:17-54 via
+        Encoder.predict_corrections, encoder.py:134-164).
+
+        The observation batch comes from the mapping dataset's normal
+        per-KF sampler (fixed shape for a 1-KF selection, so the jitted
+        encoder predict compiles once for the whole run in world-bound
+        mode where every submap's grid shapes are identical)."""
+        from miso_tpu.models.encoder import EncoderObservation
+        from miso_tpu.train.local_opt import initialize_grid_net
+
+        kf = self.current_kf_id()
+        ds = self.dataset_map
+        ds.select_keyframes([kf])
+        batch = ds.sample(self._enc_rng)
+        ds.unselect_keyframes()
+        grid = self.mapper.grid
+        # Anchor KF pose in the submap frame (local id 0 of the fresh
+        # submap; in axis-aligned mode it carries the world rotation).
+        R, t = grid.updated_kf_pose(kf - int(grid.anchor_kf))
+        coords = se3.transform_points_to(jnp.asarray(batch["coords_frame"]),
+                                         R, t)
+        obs = EncoderObservation(
+            coords_world=coords,
+            gt_sdf=jnp.asarray(batch["sdf"]),
+            gt_sdf_sign=jnp.asarray(batch["sdf_signs"]),
+            gt_sdf_valid=jnp.asarray(batch["sdf_valid"]))
+        grid, info = initialize_grid_net(grid, init_mode="encode",
+                                         encoder=self.encoder,
+                                         encoder_observation=obs)
+        # Drop the registration: Encoder.grids would otherwise pin every
+        # spawned submap's zero-feature buffers in HBM for the whole run.
+        self.encoder.grids.clear()
+        self.encoder_info.append(
+            {"submap": self.model.curr_submap_id,
+             "encoder_time": info["total_encoder_time"]})
+        self.mapper.grid = grid
+        self.tracker.grid = grid
+
     def _submap_local_bound(self, t_anchor) -> np.ndarray:
         """Per-submap local bound.  Two modes (system.py:125-139):
 
@@ -168,10 +222,14 @@ class System:
 
     def _after_init(self):
         self._fresh_tracker_mapper()
+        iters = self.init_iters
+        if self.encoder is not None and self.init_mode == "encode":
+            self._encode_init_current_submap()
+            iters = self.init_iters_encode
         slots = self.max_replay_frames + 1
         self.mapper.mapping([self.current_kf_id()] * slots,
-                            iterations=self.init_iters,
-                            level_iterations=max(self.init_iters // 3, 1))
+                            iterations=iters,
+                            level_iterations=max(iters // 3, 1))
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
         self.visualizer = Visualizer(self.model, cfg=self.cfg)
@@ -247,10 +305,15 @@ class System:
         _mark("add_submap", self.model.params.features)
         self._fresh_tracker_mapper()
         _mark("fresh_tm", self.tracker.grid.features)
+        iters = self.init_iters
+        if self.encoder is not None and self.init_mode == "encode":
+            self._encode_init_current_submap()
+            _mark("encode_init", self.mapper.grid.features)
+            iters = self.init_iters_encode
         slots = self.max_replay_frames + 1
         self.mapper.mapping([self.current_kf_id()] * slots,
-                            iterations=self.init_iters,
-                            level_iterations=max(self.init_iters // 3, 1))
+                            iterations=iters,
+                            level_iterations=max(iters // 3, 1))
         _mark("init_mapping", self.mapper.grid.features)
         self.tracker.grid = self.mapper.grid
         self._sync_submap_from_tracker_mapper()
