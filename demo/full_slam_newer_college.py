@@ -151,6 +151,28 @@ def pretrain_encoders_synthetic(dec, cfg_model, trunc_dist, scene="quad",
     return enc_params
 
 
+def _mesh_bound(cfg, atlas):
+    """Meshing bound: the configured world bound (when present) padded
+    by 0.5 m so the fused-grid SHAPES are identical at prewarm time and
+    at end-of-run despite cm-scale pose drift in global_bound()."""
+    wb = cfg["system"].get("submap_world_bound")
+    b = np.asarray(wb, np.float32) if wb is not None \
+        else atlas.global_bound()
+    return b + np.array([-0.5, 0.5], np.float32)
+
+
+_COMPARE_FIELDS = None
+
+
+def _compare_fields():
+    """Jitted fused-vs-atlas SDF comparison (one executable)."""
+    global _COMPARE_FIELDS
+    if _COMPARE_FIELDS is None:
+        import jax
+        _COMPARE_FIELDS = jax.jit(lambda ap, fg, x: (ap(x), fg(x)))
+    return _COMPARE_FIELDS
+
+
 def _json_safe(x):
     """Recursively cast jnp/np scalars in nested dicts for json.dump."""
     if isinstance(x, dict):
@@ -436,8 +458,20 @@ def main():
             pw_atlas.add_submap(quantized_local_bound(
                 wb_pw, wb_pw.mean(axis=1)))
         t_pw = time.time()
-        prewarm_extract_fields(pw_atlas.params, args.mesh_resolution,
+        # Fuse-then-mesh (GridAtlas.consolidated_grid): the final mesh
+        # queries ONE fused GridNet, never the raw S-submap atlas (whose
+        # lattice query measured 0.2M pts/s and whose watchdog-length
+        # dispatches hard-faulted the worker at 512^3 / capacity 10).
+        mb_pw = _mesh_bound(cfg, pw_atlas)
+        pw_fused = pw_atlas.consolidated_grid(structural_only=True,
+                                              bound=mb_pw)
+        prewarm_extract_fields(pw_fused, args.mesh_resolution,
                                feature_dtype="bfloat16")
+        pw_atlas.prewarm_consolidated_query()
+        import jax as _jax2
+        _compare_fields().lower(
+            pw_atlas.params, pw_fused,
+            _jax2.ShapeDtypeStruct((2 ** 16, 3), np.float32)).compile()
         print(f"mesh prewarm {time.time()-t_pw:.1f}s", flush=True)
         if expected_submaps > 1:
             pw_fuser = Fuser(pw_atlas, ds_map, cfg)
@@ -559,8 +593,28 @@ def main():
     # Final-state checkpoint: post-mortem meshing/eval without a re-run.
     system.save_checkpoint(os.path.join(args.save_dir, "ckpt_final.npz"))
     # Mesh last: a meshing fault must not lose the run's results.json.
+    # Fuse-then-mesh: resample the atlas onto one fused GridNet, verify
+    # the fused field against the true atlas field at random points
+    # (consolidation is exact modulo the cm-scale pose corrections --
+    # grid_atlas.py::consolidated_grid), then mesh the single grid.
+    import jax.numpy as _jnp
+
+    mb = _mesh_bound(cfg, atlas)
     t0 = time.time()
-    save_mesh(atlas.params, atlas.global_bound(),
+    fused = atlas.consolidated_grid(bound=mb)
+    consolidate_time = time.time() - t0
+    rngv = np.random.default_rng(0)
+    pts = rngv.uniform(mb[:, 0], mb[:, 1], size=(2 ** 16, 3)).astype(np.float32)
+    sa, sf = _compare_fields()(atlas.params, fused, _jnp.asarray(pts))
+    dd = np.abs(np.asarray(sa) - np.asarray(sf))
+    cons_err = {"mean_abs": float(dd.mean()),
+                "p99_abs": float(np.quantile(dd, 0.99)),
+                "max_abs": float(dd.max())}
+    print(f"consolidate {consolidate_time:.1f}s | fused-vs-atlas |dSDF| "
+          f"mean {cons_err['mean_abs']:.2e} p99 {cons_err['p99_abs']:.2e} "
+          f"max {cons_err['max_abs']:.2e}", flush=True)
+    t0 = time.time()
+    save_mesh(fused, mb,
               os.path.join(args.save_dir, "mesh_final.ply"),
               resolution=args.mesh_resolution, feature_dtype="bfloat16")
     mesh_time = time.time() - t0
@@ -570,14 +624,16 @@ def main():
         # recompile (first slow, second fast) from slow execution.
         from miso_tpu.utils.sdf import cast_feature_storage, extract_fields
         t0 = time.time()
-        extract_fields(cast_feature_storage(atlas.params),
-                       atlas.global_bound(), args.mesh_resolution)
+        extract_fields(cast_feature_storage(fused), mb,
+                       args.mesh_resolution)
         print(f"mesh re-eval {time.time()-t0:.1f}s", flush=True)
     res_path = os.path.join(args.save_dir, "results.json")
     with open(res_path) as f:
         res = json.load(f)
     res["mesh_resolution"] = args.mesh_resolution
     res["mesh_time_sec"] = mesh_time
+    res["consolidate_time_sec"] = consolidate_time
+    res["consolidation_sdf_error"] = cons_err
     with open(res_path, "w") as f:
         json.dump(res, f, indent=2)
 

@@ -518,6 +518,19 @@ def _interp_levels_sized(feats, x, bound, sizes, ignore_level,
     return jnp.concatenate(outs, axis=-1)
 
 
+@functools.lru_cache(maxsize=1)
+def _consolidate_chunk_fn():
+    """Jitted fixed-shape chunk query for atlas consolidation: the
+    masked-average feature + stability fields at arbitrary world points
+    (one executable per (chunk, atlas structure); see
+    GridAtlas.consolidated_grid)."""
+    @jax.jit
+    def consolidate_chunk(params, pts):
+        return params.query_feature(pts), params.query_stability(pts)
+
+    return consolidate_chunk
+
+
 # ---------------------------------------------------------------------------
 # Host wrapper with SLAM bookkeeping.
 # ---------------------------------------------------------------------------
@@ -853,6 +866,115 @@ class GridAtlas:
             corners_all.append(corners @ R[s].T + t[s])
         corners_all = np.concatenate(corners_all)
         return np.stack([corners_all.min(0), corners_all.max(0)], axis=1)
+
+    def consolidated_grid(self, chunk: int = 1 << 18,
+                          structural_only: bool = False,
+                          bound=None) -> GridNet:
+        """Resample the atlas's masked-average field onto ONE world-frame
+        GridNet (fuse-then-mesh).
+
+        The atlas forward is decode(masked-avg of per-submap trilinear
+        features) (``_scan_slots``).  Because trilinear interpolation is
+        linear in the tables and every grid here uses the same
+        cell-center node convention (ops/interp.py:323-338), a fused
+        grid whose node features are the TRUE atlas feature field
+        sampled at its own nodes reproduces the atlas field EXACTLY
+        wherever submap poses are identity, and to O(cell * pose-delta)
+        under the cm-scale pose corrections of a fused SLAM run.
+
+        Why: meshing the raw atlas evaluates every lattice point against
+        every live submap -- at 512^3 over a capacity-10 co-located
+        (world-bound) atlas that is 1.3e9 point-slot queries, and a
+        single watchdog-safe scan dispatch of it was measured to
+        hard-fault the TPU worker.  Consolidation pays ~2.3M point-slot
+        queries once, then meshes a single GridNet (134M single-model
+        queries), ~10x less total work and entirely on the small,
+        well-exercised GridNet executables.  (The reference meshes its
+        atlas directly -- grid_atlas.py:330-356 + utils_sdf.py:69-86 --
+        but its per-submap ModuleList pays the same S-fold cost.)
+
+        Chunked: one jitted fixed-shape chunk query per dispatch, each
+        ~chunk*S point-slot units, far under the ~100 s dispatch
+        watchdog (CLAUDE.md rule 6).
+
+        ``structural_only``: return a zero-feature GridNet of the same
+        shapes without querying the device -- for prewarming the meshing
+        executable at init (utils/sdf.prewarm_extract_fields).
+
+        ``bound``: override the world bound.  Pass the same (padded)
+        bound at prewarm and at the end of a run so the fused grid
+        SHAPES -- and with them every meshing executable -- are stable
+        under the cm-scale pose drift that global_bound() picks up."""
+        p = self.params
+        bound_w = np.asarray(bound, np.float32) if bound is not None \
+            else self.global_bound()
+        grid_cfg = self.cfg_model["grid"]
+        base_cell = float(grid_cfg["base_cell_size"])
+        scale = float(grid_cfg["per_level_scale"])
+
+        feats, stabs, cells = [], [], []
+        fdim = p.fdim
+        for level in range(self.num_levels):
+            cell = base_cell / scale ** level
+            cells.append(cell)
+            shape = interp.grid_shape_for_bound(bound_w, cell, 3)
+            if structural_only:
+                feats.append(jnp.zeros((*shape, fdim),
+                                       p.features[level].dtype))
+                stabs.append(jnp.zeros((*shape, 1),
+                                       p.stability[level].dtype))
+                continue
+            axes = [bound_w[k, 0] + (np.arange(shape[k]) + 0.5)
+                    * (bound_w[k, 1] - bound_w[k, 0]) / shape[k]
+                    for k in range(3)]
+            verts = np.stack(np.meshgrid(*axes, indexing="ij"),
+                             axis=-1).reshape(-1, 3).astype(np.float32)
+            nv = verts.shape[0]
+            n_chunks = -(-nv // chunk)
+            pad = n_chunks * chunk - nv
+            if pad:
+                # Out-of-bound pad rows: zero weight in every slot, the
+                # results are sliced off below.
+                verts = np.concatenate(
+                    [verts, np.full((pad, 3), 1e30, np.float32)])
+            f_parts, s_parts = [], []
+            for c in range(n_chunks):
+                f, s = _consolidate_chunk_fn()(
+                    p, jnp.asarray(verts[c * chunk:(c + 1) * chunk]))
+                f_parts.append(np.asarray(
+                    f[:, level * fdim:(level + 1) * fdim]))
+                s_parts.append(np.asarray(s[:, level:level + 1]))
+            f_np = np.concatenate(f_parts)[:nv]
+            s_np = np.concatenate(s_parts)[:nv]
+            dtype = p.features[level].dtype
+            feats.append(jnp.asarray(
+                f_np.reshape(*shape, fdim).astype(dtype)))
+            stabs.append(jnp.asarray(
+                s_np.reshape(*shape, 1).astype(p.stability[level].dtype)))
+        return GridNet(
+            features=tuple(feats),
+            stability=tuple(stabs),
+            decoder=p.decoder,
+            rot_corr=jnp.zeros((1, 3), jnp.float32),
+            trans_corr=jnp.zeros((1, 3), jnp.float32),
+            Rwk=jnp.eye(3, dtype=jnp.float32)[None],
+            twk=jnp.zeros((1, 3), jnp.float32),
+            bound=jnp.asarray(bound_w, jnp.float32),
+            ignore_level=p.ignore_level,
+            d=p.d,
+            fdim=fdim,
+            num_levels=self.num_levels,
+            cell_sizes=tuple(cells),
+            pos_invariant=p.pos_invariant,
+            decoder_fixed=True,
+            optimize_pose=False,
+        )
+
+    def prewarm_consolidated_query(self, chunk: int = 1 << 18):
+        """AOT-compile the consolidation chunk query (compile only; see
+        prewarm_extract_fields for why nothing may execute here)."""
+        pts = jax.ShapeDtypeStruct((chunk, 3), jnp.float32)
+        _consolidate_chunk_fn().lower(self.params, pts).compile()
 
     def check_submap_intersection(self, src: int, dst: int, overlap_thresh=1e-2) -> bool:
         """Finest-level vertices of src tested against dst bound

@@ -86,8 +86,10 @@ class Fuser:
         right after the atlas reaches its final storage SHAPES (capacity
         preallocation makes that the first add_submap) with the submap
         count fuse() will see -- ``expected_submaps`` defaults to
-        capacity, i.e. an untrimmed fuse.  The throwaway execution is
-        speculated pre-first-D2H, so this costs only the compile.
+        capacity, i.e. an untrimmed fuse.  AOT ``lower().compile()``:
+        compile only, nothing executes (a speculative throwaway
+        execution at full storage scale is real device work queued in
+        front of everything after it -- see prewarm_extract_fields).
         """
         from miso_tpu.train.trainer import make_train_step_pool
 
@@ -100,9 +102,9 @@ class Fuser:
         mask = self._fuse_mask(params, 1e-3, 1e-4, 1e-4)
         pool, _, n_rows, _ = self.dataset.device_pool()
         step = make_train_step_pool(self._fuse_loss(), "adam")
-        step(params, masked_adam_init(params), pool, n_rows,
-             jnp.int32(1), jax.random.PRNGKey(0), mask, jnp.float32(0.0),
-             int(max_points_per_iter))
+        step.lower(params, masked_adam_init(params), pool, n_rows,
+                   jnp.int32(1), jax.random.PRNGKey(0), mask,
+                   jnp.float32(0.0), int(max_points_per_iter)).compile()
         self._prewarmed_slots = S
 
     def fuse(self, feat_lr=1e-3, submap_pose_lr=1e-4, kf_pose_lr=1e-4,

@@ -78,10 +78,46 @@ def _lattice_eval(chunk: int, nb: int):
     return f
 
 
-# Longest scan per dispatch: very long scans of heavy query bodies
-# (stacked atlases at 512^3) can crash the TPU worker outright; 64
-# chunks/dispatch is measured-safe and keeps dispatch count low.
+# Longest scan per dispatch IN SINGLE-MODEL CHUNK-WORK UNITS: a single
+# dispatch that runs too long hits the TPU runtime watchdog (~100 s) and
+# hard-faults the worker (~4 min recovery).  64 chunks/dispatch is
+# measured-safe for a GridNet; a stacked atlas does its masked average
+# over S co-located submaps, multiplying per-chunk work by S -- a
+# 64-chunk 16.8M-point dispatch on an S=10 world-bound atlas was
+# measured to fault the worker outright, so the budget is divided by
+# the query's work factor (see _query_work_factor).
 _MAX_SCAN_CHUNKS = 64
+
+
+def _query_work_factor(query_func) -> int:
+    """Per-point query cost multiplier vs a single GridNet.
+
+    A stacked GridAtlasParams evaluates every live submap slot for each
+    point (masked average), so its lattice-scan chunk budget must shrink
+    by the slot count to keep one dispatch under the runtime watchdog."""
+    if isinstance(query_func, ObservedQuery):
+        return _query_work_factor(query_func.model)
+    Rws = getattr(query_func, "Rws", None)
+    if Rws is not None and getattr(Rws, "ndim", 0) == 3:
+        return max(int(Rws.shape[0]), 1)
+    return 1
+
+
+def _scan_bucket(nb: int, work_factor: int) -> int:
+    budget = max(_MAX_SCAN_CHUNKS // max(work_factor, 1), 1)
+    if nb <= budget:
+        # One dispatch covers the lattice: next power of two ≥ nb so
+        # executables are shared across nearby resolutions.
+        bucket = 1
+        while bucket < nb:
+            bucket *= 2
+        return bucket
+    # Multiple dispatches: largest power of two ≤ budget -- the budget
+    # is a watchdog-safety bound and must never be overshot.
+    bucket = 1
+    while bucket * 2 <= budget:
+        bucket *= 2
+    return bucket
 
 
 def extract_fields(query_func: Callable, bound, resolution: int,
@@ -102,9 +138,7 @@ def extract_fields(query_func: Callable, bound, resolution: int,
         f"(res^3 = {n}); use resolution <= 1290")
     query_func = _forward_only_query(query_func)
     nb = -(-n // chunk)
-    bucket = 1
-    while bucket < min(nb, _MAX_SCAN_CHUNKS):
-        bucket *= 2
+    bucket = _scan_bucket(nb, _query_work_factor(query_func))
     n_dispatch = -(-nb // bucket)
     b = jnp.asarray(np.asarray(bound, np.float32))
     # A pytree-callable (GridNet / GridAtlasParams / ObservedQuery) has
@@ -151,7 +185,7 @@ def _forward_only_query(query_func):
 
 def prewarm_extract_fields(query_func, resolution: int, chunk: int = 2 ** 18,
                            feature_dtype=None):
-    """Compile (and speculatively execute) the meshing executable NOW.
+    """Compile the meshing executable NOW -- compile ONLY, no execution.
 
     On the axon transport, a big cache-miss compile in an AGED process
     runs ~11x slower than the same compile at init (CLAUDE.md rule 7;
@@ -159,11 +193,15 @@ def prewarm_extract_fields(query_func, resolution: int, chunk: int = 2 ** 18,
     flagship demo paid 1080 s meshing a 300-frame run).  Call this right
     after the model/atlas storage reaches its final SHAPES (for a
     GridAtlas: after the first add_submap, since storage is
-    capacity-padded) and before the run loop: the jitted lattice
-    evaluator for (chunk, bucket(resolution)) compiles while the process
-    is fresh, and the final save_mesh / extract_fields call reuses it
-    from the jit cache.  Pre-first-D2H the one throwaway execution is
-    speculated (block is a no-op), so this costs only the compile.
+    capacity-padded) and before the run loop: the executable lands in
+    the persistent compilation cache, so the final save_mesh /
+    extract_fields call deserializes it instead of re-compiling.
+
+    Uses AOT ``lower().compile()`` rather than a speculative throwaway
+    execution: the execution is NOT free -- one full-scale lattice
+    dispatch on a capacity-10 world-bound atlas ran past the runtime
+    watchdog and hard-faulted the TPU worker, poisoning every
+    subsequently queued program (the round-5 prewarm crash class).
 
     ``feature_dtype``: prewarm the cast-storage variant save_mesh will
     use (e.g. "bfloat16"); pass None for the raw-storage executable.
@@ -174,15 +212,13 @@ def prewarm_extract_fields(query_func, resolution: int, chunk: int = 2 ** 18,
     query_func = _forward_only_query(query_func)
     n = resolution ** 3
     nb = -(-n // chunk)
-    bucket = 1
-    while bucket < min(nb, _MAX_SCAN_CHUNKS):
-        bucket *= 2
+    bucket = _scan_bucket(nb, _query_work_factor(query_func))
     leaves = jax.tree_util.tree_leaves(query_func)
     if not (leaves and all(hasattr(l, "dtype") for l in leaves)):
         return  # plain-closure path compiles per call; nothing to warm
     f = _lattice_eval(chunk, bucket)
     b = jnp.zeros((3, 2), jnp.float32).at[:, 1].set(1.0)
-    f(query_func, b, resolution, 0)
+    f.lower(query_func, b, resolution, 0).compile()
 
 
 def cast_feature_storage(query_func, dtype=jnp.bfloat16):
