@@ -77,14 +77,25 @@ def main():
     key = jax.random.PRNGKey(0)
     lr = jnp.float32(1e-3)
 
-    # Warmup/compile.
+    # Warmup/compile.  The warmup result is MATERIALIZED (D2H value
+    # read): on the axon backend ``block_until_ready`` is NOT an
+    # execution barrier -- a chain of dispatches that nothing ever
+    # materializes is never executed, and "blocking" on it returns in
+    # ~0 ms.  Measured 2026-08-21: this exact loop reports
+    # 0.45 ms/step with block_until_ready-only sync and 1162 ms/step
+    # once a value read forces real execution.  Rounds 1-4 of this
+    # repo published the artifact (2.7-3.8e9 pts/s); the honest
+    # number is ~0.9e6 pts/s (and the artifact was physically
+    # impossible: 0.27 ms/step implies ~3.8 TB/s of gather traffic on
+    # an ~0.8 TB/s HBM part).
     model_, opt_, tl, _ = step(model, opt_state, batch, key, mask, lr)
-    tl.block_until_ready()
+    float(tl)
     model, opt_state = model_, opt_
 
-    # Chained steps (model/opt flow through), blocked per chunk of 10 to
-    # collect a per-step time distribution while amortizing host RTT.
-    # Batches and RNG keys rotate across steps.
+    # Chained steps (model/opt flow through), synced per chunk of 10 by
+    # a VALUE READ of the final loss (the only real barrier, see above)
+    # to collect a per-step time distribution while amortizing host
+    # RTT (~25 ms/read).  Batches and RNG keys rotate across steps.
     keys = list(jax.random.split(key, 8))
     chunks = 10
     per_chunk = 10
@@ -97,7 +108,7 @@ def main():
                 model, opt_state, batches[i % len(batches)],
                 keys[i % len(keys)], mask, lr)
             i += 1
-        tl.block_until_ready()
+        float(tl)
         chunk_times.append((time.perf_counter() - t0) / per_chunk)
     med = float(np.median(chunk_times))
     p10 = float(np.percentile(chunk_times, 10))
@@ -113,7 +124,10 @@ def main():
         "scope": ("full mapping train step (interp+decode fwd, L1+FS "
                   "loss, grads, masked Adam) on device-resident "
                   "1e6-point batches (4 rotating) with rotating RNG "
-                  "keys; EXCLUDES host sampling + H2D. "
+                  "keys; EXCLUDES host sampling + H2D; synced by "
+                  "per-chunk VALUE READS (block_until_ready is not an "
+                  "execution barrier on this backend -- earlier rounds' "
+                  "2.7-3.8e9 pts/s were that artifact). "
                   "vs_baseline divides by an ESTIMATE (4e7 pts/s) of "
                   "the torch/CUDA reference's step throughput on an "
                   "RTX-class GPU - the reference publishes no numbers "

@@ -443,7 +443,17 @@ def main():
     cfg.setdefault("align", {}).update({"level_iters": 50,
                                         "finetune_iters": 50,
                                         "skip_finetune": False,
-                                        "learning_rate": 2e-3})
+                                        "learning_rate": 2e-3,
+                                        # Stochastic per-pair subsample:
+                                        # 45 live pairs x 32k pts was
+                                        # ~2.1M gathered points per
+                                        # solve iteration at S=10 --
+                                        # the segment dispatches that
+                                        # tripped the ~100 s watchdog.
+                                        # 8k/pair cuts per-iteration
+                                        # work 4x; alignment is Adam,
+                                        # subsampling is plain SGD.
+                                        "subsample_points": 8192})
     if args.synthetic and not args.no_prewarm:
         pw_slots = min(expected_submaps,
                        cfg["system"].get("submap_capacity")
@@ -478,12 +488,13 @@ def main():
             t_pw = time.time()
             pw_fuser.prewarm(expected_submaps=pw_slots)
             print(f"fuse prewarm {time.time()-t_pw:.1f}s", flush=True)
-            # Align prewarm: the same align call on the throwaway atlas
-            # compiles the (cached) pair losses + scanned solves at the
-            # run's exact shapes; the real align is then a jit-cache hit.
+            # Align prewarm: AOT compile-only at the run's exact shapes
+            # (an EXECUTED throwaway align at this scale is minutes of
+            # device work, and its 10-iteration solve segments exceeded
+            # the ~100 s runtime watchdog -> worker hard-fault).
             t_pw = time.time()
-            pw_fuser.align()
-            print(f"align prewarm {time.time()-t_pw:.1f}s", flush=True)
+            pw_fuser.align(aot_only=True)
+            print(f"align prewarm (aot) {time.time()-t_pw:.1f}s", flush=True)
             # The Fuser holds the throwaway atlas: drop BOTH, or its
             # capacity-sized stacked storage (~GBs at capacity 16)
             # stays resident in HBM for the whole run -- measured to

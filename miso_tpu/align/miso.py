@@ -495,6 +495,27 @@ def atlas_pose_trust_region_loss(params: GridAtlasParams, thresh_rad,
 _ALIGN_SOLVE_CACHE: Dict = {}
 
 
+@jax.jit
+def _jit_build_pair_ctx(C, V, src, dst, live):
+    """(S, P, .) stacked alignment coords -> padded pair ctx in one
+    dispatch (src-submap coords per pair; inert pad rows valid=0)."""
+    return src, dst, C[src], V[src] * live[:, None, None]
+
+
+def _seg_iters():
+    """Iterations per scanned solve dispatch.
+
+    Measured at quad scale (S=10, 64 padded pairs x 8k subsampled
+    points): a FINE-level align iteration executes in ~1.2 s on the
+    tunnel, so a 50-iteration dispatch runs into the ~100 s runtime
+    watchdog and hard-faults the worker (reproduced 2026-08-20); 10
+    iterations/dispatch keeps the worst measured level at ~12-14 s per
+    dispatch.  Segments are cheap now that the per-segment
+    ``bool(stopped)`` D2H is skipped for rel_change_thresh == 0 (that
+    read cost ~1.2 s/segment on the tunnel)."""
+    return max(1, int(os.environ.get("MISO_ALIGN_SEG_ITERS", 10)))
+
+
 def _make_align_step_solve(pair_loss_fn, batched_loss, submap_pairs, lr,
                            rel_change_thresh, pose_reg_weight,
                            pose_thresh_rad, pose_thresh_m):
@@ -594,7 +615,7 @@ def generic_align_multiple_submaps(
         check_intersection=True, pose_reg_weight=0.0,
         pose_thresh_rad=1.0, pose_thresh_m=1.0, verbose=False,
         save_iterations=False, seed=0, loss_ctx=None, batched_loss=False,
-        scan=True):
+        scan=True, aot_only=False):
     """Adam over all submap poses, submap 0 anchored
     (reference align/base.py:89-163).
 
@@ -648,6 +669,21 @@ def generic_align_multiple_submaps(
     iteration_results = {}
     stage_times: Dict[str, float] = {}
 
+    if aot_only:
+        # Compile the segment executable, execute NOTHING (the prewarm
+        # path: a speculative align execution on a throwaway capacity-
+        # scale atlas is minutes of real device work and -- at quad
+        # scale -- a watchdog fault; see Fuser.prewarm).  loss_ctx may
+        # be a ShapeDtypeStruct pytree.
+        seg = _seg_iters()
+        keys_seg = jnp.stack([jax.random.PRNGKey(0)] * seg)
+        solve.lower(pose, opt_state, jnp.asarray(False), params, loss_ctx,
+                    pose_mask, keys_seg, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(num_iters + 1, jnp.int32)).compile()
+        return {"aot_only": True,
+                "cpu_time_sec": time.perf_counter() - t0,
+                "gpu_time_sec": 0.0}
+
     if scan and not save_iterations and not verbose:
         # Scanned dispatches over the same key sequence the loop path
         # would draw, freezing pose AND optimizer state once the rel
@@ -658,7 +694,7 @@ def generic_align_multiple_submaps(
         # flag between segments to stop early for real (on-device
         # freeze still computes -- and discards -- each step).
         T = num_iters + 1
-        seg = max(1, int(os.environ.get("MISO_ALIGN_SEG_ITERS", 10)))
+        seg = _seg_iters()
         subs = []
         for _ in range(T):
             key, sub = jax.random.split(key)
@@ -671,9 +707,22 @@ def generic_align_multiple_submaps(
         stopped = jnp.asarray(False)
 
         debug_seg = os.environ.get("MISO_ALIGN_DEBUG")
+        if debug_seg:
+            print(f"    align solve: T={T} seg={seg} (first dispatch "
+                  f"compiles on cache miss)", flush=True)
         stage_times["dispatch_sec"] = 0.0
         stage_times["block_sec"] = 0.0
         stage_times["segments_run"] = 0
+        # Per-segment sync is a VALUE READ, not block_until_ready: on
+        # the axon backend only a D2H read reliably waits for execution
+        # (block_until_ready returned in ~0 ms while 50 queued
+        # iterations were still running; the resulting dispatch pileup
+        # hard-faulted the worker).  Reading the (S, 3) pose row costs
+        # one ~25 ms round trip per segment, bounds the device queue to
+        # one segment (~12 s at seg=10), and makes the per-segment
+        # times below real.  The rel-change early exit reads the
+        # on-device ``stopped`` flag only when it can actually fire.
+        check_stop = rel_change_thresh > 0
         for i in range(0, T, seg):
             t_d = time.perf_counter()
             pose, opt_state, stopped, _ = solve(
@@ -685,7 +734,8 @@ def generic_align_multiple_submaps(
             d_sec = time.perf_counter() - t_d
             stage_times["dispatch_sec"] += d_sec
             t_b = time.perf_counter()
-            done = bool(stopped)            # syncs this segment
+            done = bool(stopped) if check_stop else False
+            np.asarray(pose[0])
             b_sec = time.perf_counter() - t_b
             stage_times["block_sec"] += b_sec
             stage_times["segments_run"] += 1
@@ -694,7 +744,6 @@ def generic_align_multiple_submaps(
                       f"block {b_sec*1e3:.1f} ms stopped={done}", flush=True)
             if done:
                 break
-        jax.block_until_ready(pose)
     else:
         prev = None
         for it in range(num_iters + 1):
@@ -779,7 +828,7 @@ def align_multiple_submaps_hierarchical(
         submap_pairs=None, pose_reg_weight=0.0, pose_thresh_m=1.0,
         pose_thresh_rad=1.0, gm_scale_sdf=0.1, verbose=False,
         save_iterations=False, seed=0, vmap_pairs=True, mesh=None,
-        pair_axis="data", max_align_points=None):
+        pair_axis="data", max_align_points=None, aot_only=False):
     """Coarse-to-fine latent alignment + optional SDF finetune
     (reference miso.py:217-322).
 
@@ -801,11 +850,28 @@ def align_multiple_submaps_hierarchical(
     of pairs that is a multi-GB pair context and a device-killing loss
     body.  SLAM's Fuser caps this via cfg align.max_points.
     """
+    _dbg = os.environ.get("MISO_ALIGN_DEBUG")
     t_pre = time.perf_counter()
-    pre = atlas.precompute_coordinates_for_alignment(
-        max_points=max_align_points)
-    jax.block_until_ready([v[0] for v in pre.values()])
+    if aot_only:
+        # Prewarm mode: compile every alignment executable at the run's
+        # exact shapes, execute NOTHING on device.  The previous
+        # execute-to-compile prewarm ran a full throwaway align --
+        # minutes of device work, and at quad scale (45 pairs x 32k pts
+        # x 10-iteration segments) a single solve dispatch exceeded the
+        # ~100 s runtime watchdog and hard-faulted the worker.
+        if max_align_points is None or not vmap_pairs:
+            raise ValueError("aot_only prewarm needs max_align_points "
+                             "and vmap_pairs=True (static ctx shapes)")
+        atlas.prewarm_alignment_coords(max_points=max_align_points)
+        pre = None
+    else:
+        pre = atlas.precompute_coordinates_for_alignment(
+            max_points=max_align_points)
+        jax.block_until_ready([v[0] for v in pre.values()])
     info: Dict = {"precompute_sec": time.perf_counter() - t_pre}
+    if _dbg:
+        print(f"  align coords {'prewarm' if aot_only else 'precompute'} "
+              f"{info['precompute_sec']:.1f}s", flush=True)
     cpu_total = 0.0
     if latent_levels is None:
         latent_levels = range(atlas.num_levels)
@@ -840,14 +906,23 @@ def align_multiple_submaps_hierarchical(
     all_pairs = atlas.num_submaps * (atlas.num_submaps - 1) // 2
     pad_pairs_to = 1 << max(all_pairs - 1, 0).bit_length()
 
-    def pair_ctx(coords, loss_fn=None):
-        from miso_tpu.parallel.sharding import pad_pair_ctx, shard_pair_ctx
+    def pair_ctx(level_, loss_fn=None):
+        from miso_tpu.parallel.sharding import shard_pair_ctx
         t_c = time.perf_counter()
-        src = jnp.asarray([s for s, _ in pairs], jnp.int32)
-        dst = jnp.asarray([d for _, d in pairs], jnp.int32)
-        cf = jnp.stack([coords[s][0] for s, _ in pairs])
-        vf = jnp.stack([coords[s][1] for s, _ in pairs])
-        ctx = pad_pair_ctx((src, dst, cf, vf), max(pad_pairs_to, 1))
+        # One jitted gather from the precomputed (S, P, .) stacked
+        # coords (pad rows inert: valid zeroed).  The previous eager
+        # per-pair jnp.stack cost ~0.1-0.2 s PER EAGER OP on the axon
+        # tunnel and dominated ctx build time.
+        Ppad = max(pad_pairs_to, 1)
+        src_np = np.zeros(Ppad, np.int32)
+        dst_np = np.zeros(Ppad, np.int32)
+        live_np = np.zeros(Ppad, np.float32)
+        src_np[:len(pairs)] = [s for s, _ in pairs]
+        dst_np[:len(pairs)] = [d for _, d in pairs]
+        live_np[:len(pairs)] = 1.0
+        C, V = atlas.alignment_coords_stacked(level_)
+        ctx = _jit_build_pair_ctx(C, V, jnp.asarray(src_np),
+                                  jnp.asarray(dst_np), jnp.asarray(live_np))
         if mesh is not None:
             ctx = shard_pair_ctx(ctx, mesh, pair_axis)
         if loss_fn is not None and hasattr(loss_fn, "precompute_src"):
@@ -856,25 +931,49 @@ def align_multiple_submaps_hierarchical(
             # solve iteration -- halves the per-iteration atlas gather
             # traffic, the dominant align cost at many submaps.
             ctx = loss_fn.precompute_src(atlas.params, ctx)
-        jax.block_until_ready(ctx[2])
+        jax.block_until_ready(ctx)
         ctx_secs.append(time.perf_counter() - t_c)
+        if _dbg:
+            print(f"  align pair ctx ({ctx[2].shape[0]} padded pairs x "
+                  f"{ctx[2].shape[1]} pts) + src precompute "
+                  f"{ctx_secs[-1]:.1f}s", flush=True)
         return ctx
+
+    P_levels = (atlas.alignment_points_per_level(max_align_points)
+                if aot_only else None)
+
+    def aot_ctx(loss_fn, level_):
+        """ShapeDtypeStruct pair ctx at the run's exact shapes + AOT
+        compile of the loss's src precompute -- zero execution."""
+        Ppad = max(pad_pairs_to, 1)
+        N = P_levels[level_]
+        ctx4 = (jax.ShapeDtypeStruct((Ppad,), jnp.int32),
+                jax.ShapeDtypeStruct((Ppad,), jnp.int32),
+                jax.ShapeDtypeStruct((Ppad, N, 3), jnp.float32),
+                jax.ShapeDtypeStruct((Ppad, N, 1), jnp.float32))
+        if hasattr(loss_fn, "precompute_src"):
+            loss_fn.precompute_src.lower(atlas.params, ctx4).compile()
+            ctx6 = jax.eval_shape(loss_fn.precompute_src, atlas.params,
+                                  ctx4)
+            return tuple(ctx6)
+        return ctx4
 
     # Flat per-point batched losses unless the loss needs per-pair
     # softmax structure (InfoNCE) -- see make_flat_pair_loss.
     make_batched = (make_vmapped_pair_loss if align_loss == "InfoNCE"
                     else make_flat_pair_loss)
     for level in latent_levels:
-        coords = {s: atlas.coordinates_for_alignment(s, level)
-                  for s in range(atlas.num_submaps)}
         if vmap_pairs:
             pair_loss = make_batched(
                 "latent", level=level, align_weight=align_weight,
                 align_loss=align_loss, use_bound=use_bound,
                 stability_thresh=stability_thresh,
                 subsample_points=subsample_points)
-            ctx = pair_ctx(coords, pair_loss)
+            ctx = aot_ctx(pair_loss, level) if aot_only \
+                else pair_ctx(level, pair_loss)
         else:
+            coords = {s: atlas.coordinates_for_alignment(s, level)
+                      for s in range(atlas.num_submaps)}
             def pair_loss(p, s, d, key, ctx, _level=level):
                 cf, vf = ctx[s]
                 return pairwise_loss_latent(
@@ -889,14 +988,12 @@ def align_multiple_submaps_hierarchical(
             pose_reg_weight=pose_reg_weight, pose_thresh_rad=pose_thresh_rad,
             pose_thresh_m=pose_thresh_m, verbose=verbose,
             save_iterations=save_iterations, seed=seed + level,
-            loss_ctx=ctx, batched_loss=vmap_pairs)
+            loss_ctx=ctx, batched_loss=vmap_pairs, aot_only=aot_only)
         cpu_total += level_info["cpu_time_sec"]
         info[f"hier_latent_level{level}_{align_loss}"] = level_info
     if not skip_finetune:
         sdf_align_loss = "L2" if align_loss == "cos" else align_loss
         finest = atlas.num_levels - 1
-        coords = {s: atlas.coordinates_for_alignment(s, finest)
-                  for s in range(atlas.num_submaps)}
         if vmap_pairs:
             make_batched_sdf = (make_vmapped_pair_loss
                                 if sdf_align_loss == "InfoNCE"
@@ -905,8 +1002,11 @@ def align_multiple_submaps_hierarchical(
                 "sdf", align_weight=align_weight, align_loss=sdf_align_loss,
                 use_bound=use_bound, stability_thresh=stability_thresh,
                 gm_scale_sdf=gm_scale_sdf, subsample_points=subsample_points)
-            ctx = pair_ctx(coords, pair_loss_sdf)
+            ctx = aot_ctx(pair_loss_sdf, finest) if aot_only \
+                else pair_ctx(finest, pair_loss_sdf)
         else:
+            coords = {s: atlas.coordinates_for_alignment(s, finest)
+                      for s in range(atlas.num_submaps)}
             def pair_loss_sdf(p, s, d, key, ctx):
                 cf, vf = ctx[s]
                 return pairwise_loss_sdf(
@@ -921,7 +1021,7 @@ def align_multiple_submaps_hierarchical(
             pose_reg_weight=pose_reg_weight,
             pose_thresh_rad=pose_thresh_rad, pose_thresh_m=pose_thresh_m,
             verbose=verbose, save_iterations=save_iterations, seed=seed + 101,
-            loss_ctx=ctx, batched_loss=vmap_pairs)
+            loss_ctx=ctx, batched_loss=vmap_pairs, aot_only=aot_only)
         cpu_total += fin["cpu_time_sec"]
         info[f"hier_sdf_{sdf_align_loss}"] = fin
     info["ctx_build_secs"] = ctx_secs

@@ -1063,69 +1063,113 @@ class GridAtlas:
                         valid[:n] = 1.0
                     out[(s, level)] = (jnp.asarray(padded.astype(np.float32)),
                                        jnp.asarray(valid))
-            self._coords_for_alignment = out
+            self._set_alignment_coords(out)
             return out
 
-        global _jit_align_coords
-        if "_jit_align_coords" not in globals():
-            from functools import partial
-
-            @partial(jax.jit, static_argnames=("shape", "P", "thresh"))
-            def _jit_align_coords(params, s, key, shape, P, thresh):
-                verts = interp.vertex_positions(shape, params.bounds[s])
-                # Chunk the feature-norm pass: a fine quad-scale level
-                # is ~21M vertices, and one flat query's 8-corner
-                # gather intermediate on top of a capacity-10 stacked
-                # atlas hard-faults the TPU worker (HBM blowup; same
-                # class as MISO_FLAT_ALIGN_CHUNK in align/miso.py).
-                # The (Nv,) score stays flat -- only the gather-heavy
-                # norm computation is scanned.
-                nv = verts.shape[0]
-                ch = int(os.environ.get("MISO_ALIGN_COORD_CHUNK",
-                                        str(1 << 19)))
-                if nv > ch:
-                    k = -(-nv // ch)
-                    vpad = jnp.concatenate(
-                        [verts, jnp.zeros((k * ch - nv, 3), verts.dtype)])
-                    norm = jax.lax.map(
-                        lambda v: jnp.linalg.norm(
-                            params.query_feature_submap(s, v), axis=1),
-                        vpad.reshape(k, ch, 3)).reshape(-1)[:nv]
-                else:
-                    feat = params.query_feature_submap(s, verts)
-                    norm = jnp.linalg.norm(feat, axis=1)
-                ok = (norm > thresh).astype(jnp.float32)
-                # top-P by (valid, random) -> a random P-subset of the
-                # valid vertices, padded with invalid rows when fewer.
-                score = ok * (1.0 + jax.random.uniform(key, norm.shape))
-                if verts.shape[0] < P:  # smaller submap in a mixed atlas
-                    pad = P - verts.shape[0]
-                    verts = jnp.concatenate(
-                        [verts, jnp.zeros((pad, verts.shape[1]),
-                                          verts.dtype)])
-                    score = jnp.concatenate(
-                        [score, jnp.zeros((pad,), score.dtype)])
-                _, idx = jax.lax.top_k(score, P)
-                return verts[idx], (score[idx] >= 1.0)[:, None].astype(
-                    jnp.float32)
-
+        _jit_align_coords = _get_jit_align_coords()
         key = jax.random.PRNGKey(seed)
         for level in range(self.num_levels):
             # One P per level (pair contexts stack submaps), independent
             # of the data: min(cap, largest submap's vertex count).
-            P = max(min(max_points, max(
-                int(np.prod(self._submap_shapes[s][level]))
-                for s in range(self.num_submaps))), 1)
+            P = self.alignment_points_per_level(max_points)[level]
             for s in range(self.num_submaps):
                 shape = tuple(self._submap_shapes[s][level])
                 key, sub = jax.random.split(key)
                 out[(s, level)] = _jit_align_coords(
                     p, jnp.int32(s), sub, shape, P, float(norm_thresh))
-        self._coords_for_alignment = out
+        self._set_alignment_coords(out)
         return out
+
+    def _set_alignment_coords(self, out):
+        self._coords_for_alignment = out
+        # Stacked per-level views (S, P, 3)/(S, P, 1): the pair-ctx
+        # build gathers rows by pair src id in ONE jitted op instead of
+        # one eager num_pairs-element stack per ctx (each eager op on
+        # the tunnel costs ~0.1-0.2 s; see align/miso._jit_build_pair_ctx).
+        self._coords_stacked = {
+            level: (jnp.stack([out[(s, level)][0]
+                               for s in range(self.num_submaps)]),
+                    jnp.stack([out[(s, level)][1]
+                               for s in range(self.num_submaps)]))
+            for level in range(self.num_levels)}
+
+    def alignment_coords_stacked(self, level: int):
+        """(S, P, 3) coords + (S, P, 1) valid for one level."""
+        return self._coords_stacked[level]
 
     def coordinates_for_alignment(self, s: int, level: int):
         return self._coords_for_alignment[(s, level)]
+
+    def alignment_points_per_level(self, max_points: int):
+        """Per-level alignment point count P: min(max_points, largest
+        submap's vertex count) -- a pure SHAPE function (no data), so
+        prewarms can build alignment contexts without executing."""
+        return [max(min(max_points, max(
+            int(np.prod(self._submap_shapes[s][level]))
+            for s in range(self.num_submaps))), 1)
+            for level in range(self.num_levels)]
+
+    def prewarm_alignment_coords(self, max_points: int, norm_thresh=1e-5):
+        """AOT-compile the per-level alignment-coords executables
+        (lower().compile() -- zero device execution; see
+        prewarm_extract_fields for why speculative execution at
+        capacity scale is forbidden)."""
+        fn = _get_jit_align_coords()
+        p = self.params
+        key = jax.random.PRNGKey(0)
+        for level in range(self.num_levels):
+            P = self.alignment_points_per_level(max_points)[level]
+            shape = tuple(self._submap_shapes[0][level])
+            fn.lower(p, jnp.int32(0), key, shape, P,
+                     float(norm_thresh)).compile()
+
+
+def _get_jit_align_coords():
+    global _jit_align_coords_fn
+    if "_jit_align_coords_fn" not in globals():
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("shape", "P", "thresh"))
+        def _jit_align_coords(params, s, key, shape, P, thresh):
+            verts = interp.vertex_positions(shape, params.bounds[s])
+            # Chunk the feature-norm pass: a fine quad-scale level
+            # is ~21M vertices, and one flat query's 8-corner
+            # gather intermediate on top of a capacity-10 stacked
+            # atlas hard-faults the TPU worker (HBM blowup; same
+            # class as MISO_FLAT_ALIGN_CHUNK in align/miso.py).
+            # The (Nv,) score stays flat -- only the gather-heavy
+            # norm computation is scanned.
+            nv = verts.shape[0]
+            ch = int(os.environ.get("MISO_ALIGN_COORD_CHUNK",
+                                    str(1 << 19)))
+            if nv > ch:
+                k = -(-nv // ch)
+                vpad = jnp.concatenate(
+                    [verts, jnp.zeros((k * ch - nv, 3), verts.dtype)])
+                norm = jax.lax.map(
+                    lambda v: jnp.linalg.norm(
+                        params.query_feature_submap(s, v), axis=1),
+                    vpad.reshape(k, ch, 3)).reshape(-1)[:nv]
+            else:
+                feat = params.query_feature_submap(s, verts)
+                norm = jnp.linalg.norm(feat, axis=1)
+            ok = (norm > thresh).astype(jnp.float32)
+            # top-P by (valid, random) -> a random P-subset of the
+            # valid vertices, padded with invalid rows when fewer.
+            score = ok * (1.0 + jax.random.uniform(key, norm.shape))
+            if verts.shape[0] < P:  # smaller submap in a mixed atlas
+                pad = P - verts.shape[0]
+                verts = jnp.concatenate(
+                    [verts, jnp.zeros((pad, verts.shape[1]),
+                                      verts.dtype)])
+                score = jnp.concatenate(
+                    [score, jnp.zeros((pad,), score.dtype)])
+            _, idx = jax.lax.top_k(score, P)
+            return verts[idx], (score[idx] >= 1.0)[:, None].astype(
+                jnp.float32)
+
+        globals()["_jit_align_coords_fn"] = _jit_align_coords
+    return globals()["_jit_align_coords_fn"]
 
 
 def grid_atlas_mask(params: GridAtlasParams,

@@ -28,10 +28,15 @@ class Fuser:
         self.dataset = dataset
         self.cfg = cfg
 
-    def align(self):
+    def align(self, aot_only=False):
+        """``aot_only``: compile every alignment executable at the
+        run's shapes without executing anything -- the prewarm path
+        (an executed throwaway align at capacity scale is minutes of
+        device work and faulted the worker at quad scale)."""
         c = self.cfg["align"]
         return align_multiple_submaps_hierarchical(
             self.atlas,
+            aot_only=aot_only,
             level_iters=c.get("level_iters", 100),
             finetune_iters=c.get("finetune_iters", 100),
             level_thresh=0,
@@ -168,14 +173,18 @@ class Fuser:
                                          k_live, sub, mask,
                                          jnp.float32(1.0),
                                          int(max_points_per_iter))
+            # Per-step VALUE read: on the axon backend only a D2H read
+            # reliably waits for execution (block_until_ready can
+            # return while work is still queued), so this bounds the
+            # device queue to one fuse step (a >100 s pileup of queued
+            # dispatches hard-faults the worker) at ~25 ms RTT/step.
+            float(tl)
             if i == 0:
                 # First-step wall time is the compile detector: a jit
                 # cache hit costs ms, an (aged-process) cache-miss
                 # compile costs tens of seconds.
-                tl.block_until_ready()
                 marks["step0_sec"] = time.perf_counter() - t0
                 t0 = time.perf_counter()
-        tl.block_until_ready()
         t_step = time.perf_counter() - t0
         t0 = time.perf_counter()
         self.atlas.params = full.scatter_trimmed(params) if trimmed else params

@@ -598,3 +598,33 @@ def test_bundle_adjust_multiple_submaps():
     np.testing.assert_allclose(np.asarray(atlas.params.sub_trans_corr[0]), 0.0)
     assert float(jnp.abs(atlas.params.sub_trans_corr[1] -
                          p0.sub_trans_corr[1]).max()) > 0
+
+
+@pytest.mark.fast
+def test_aot_only_prewarm_compiles_without_executing():
+    """aot_only=True compiles the align-coords / src-precompute / solve
+    executables at the run's exact shapes and touches NEITHER the atlas
+    params nor the device with real work (the Fuser prewarm path: an
+    executed throwaway align at quad scale hard-faulted the worker)."""
+    atlas = build_atlas(3, offset=0.5)
+    before = jax.tree_util.tree_map(np.asarray, atlas.params)
+    info = align_multiple_submaps_hierarchical(
+        atlas, level_iters=4, finetune_iters=4, skip_finetune=False,
+        max_align_points=64, subsample_points=32)
+    # prewarm AFTER a real align: same loss/solve cache objects
+    atlas2 = build_atlas(3, offset=0.5)
+    info_pw = align_multiple_submaps_hierarchical(
+        atlas2, level_iters=4, finetune_iters=4, skip_finetune=False,
+        max_align_points=64, subsample_points=32, aot_only=True)
+    for k, v in info_pw.items():
+        if isinstance(v, dict):
+            assert v.get("aot_only"), (k, v)
+    # prewarm did not move the atlas
+    after = jax.tree_util.tree_map(np.asarray, atlas2.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # and a real align still runs after an aot_only prewarm
+    align_multiple_submaps_hierarchical(
+        atlas2, level_iters=2, finetune_iters=2, skip_finetune=False,
+        max_align_points=64, subsample_points=32)
