@@ -191,16 +191,17 @@ def grid_interpolate_per_point(stacked: jnp.ndarray, sub_ids: jnp.ndarray,
 
     * ``"gather"`` (default): ONE gather over the flattened (S, g..., F)
       storage with per-point bounds / logical sizes folded into the
-      columnar index math.  O(N) compute regardless of S.  Measured on
-      v5e at atlas scale (10 x 2.6M cells, 1M random-submap points,
-      all arrays as jit ARGUMENTS): 0.041 ms fwd / 0.026 ms w/ coord
-      grad -- random access into a 500 MB stacked table is NOT slow;
-      an earlier ~250 ms/1M reading came from benchmarking with eager
-      feedback ops + closure-baked constants (CLAUDE.md rules 1-2).
+      columnar index math.  O(N) compute regardless of S.  HONEST cost
+      (2026-08-21, value-read synced -- earlier "0.04 ms/1M" readings
+      were unsynced dispatch-time artifacts, see CLAUDE.md rule 0):
+      XLA lowers this to a latency-bound HBM gather at ~3e7
+      element-gathers/s, ~0.5 s per 1M points x 8 corners x 2 levels.
+      It is the framework's bottleneck; ops/pallas_interp.py is the
+      MXU-matmul replacement path.
     * ``"slots"``: lax.scan over the S slots; each step is one
       single-grid sized interpolation of ALL N points accumulated under
-      ``sub_ids == s``.  O(S*N) compute; measured equal to "gather" at
-      S=10 (0.048 ms).  Kept as a parity/fallback execution shape.
+      ``sub_ids == s``.  O(S*N) compute; kept as a parity/fallback
+      execution shape.
     * ``"auto"``: "gather".
 
     Args:

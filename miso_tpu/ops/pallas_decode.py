@@ -12,39 +12,24 @@ section 2.9).  Two kernels:
   * :func:`pallas_decode` -- decode-only variant (drop-in for
     ops.mlp.mlp_apply).
 
-Division of labor (deliberate, measured): the 8-corner *gather* itself
-and the backward *scatter-add* stay in XLA.  Mosaic's gather support is
-a per-lane ``tpu.dynamic_gather`` whose indices must match the table
-shape -- it cannot express N-point corner gathers from a (G, F) grid --
-while XLA lowers both to native HBM gather/scatter that run at memory
-bandwidth.  A roofline check on the v5e confirms the XLA path is
-gather-bound at ~HBM speed already (bench.py measures ~3-4.6e9 pts/s
-full train step; ~256 B/pt of corner traffic ~= 819 GB/s HBM), so the
-kernel's value is removing the elementwise/matmul HBM round trips
-between gather and decode, not replacing the gather.
+Division of labor: the 8-corner *gather* itself and the backward
+*scatter-add* stay in XLA here; Mosaic's per-lane ``tpu.dynamic_gather``
+cannot express N-point corner gathers from a (G, F) grid.
 
-Measured A/B on the v5e (1e6 points, GridNet decode_impl flag,
-order-interleaved medians of 8 reps x 10 chained steps, 2026-08-17).
-Round 2's 3000x Pallas loss was the (C, N, F) row gather + minor-dim
-transpose feeding the kernel; the gather now emits cfT directly in
-(C*F, N) layout via one flat element gather (index lin*F + f), and the
-kernel is at parity:
-
-  config                      train step        query-only fwd
-  flagship (fdim4, 64x1)      XLA 0.236 ms  /  XLA 0.031 ms
-                              Pallas 0.241  /  Pallas 0.031  (1.02x/1.00x)
-  big (fdim16, 256x3)         XLA 0.273 ms  /  XLA 0.028 ms
-                              Pallas 0.277  /  Pallas 0.031  (1.01x/1.11x)
-
-Why parity is the ceiling: the flagship grids (~4.4 MB) fit in VMEM, so
-XLA already serves the corner gathers from VMEM and fuses the lerp+MLP
-epilogue -- the 1e6-pt forward streams 12 MB of coords + 4 MB out in
-31 us, ~2x the 819 GB/s HBM streaming minimum.  There is no HBM round
-trip between gather and decode left for a hand-fused kernel to remove,
-at small or large decoder widths.  The XLA path therefore stays the
-default (decode_impl='xla'); decode_impl='pallas' is a proven-equal
-alternative (value/grad/grad2 parity in tests/test_pallas_decode.py)
-kept as the reference-parity slot for the CUDA extension.
+**Measurement correction (2026-08-21).** The A/B table this file used
+to carry (XLA 0.236 ms vs Pallas 0.241 ms per 1e6-pt train step, "the
+XLA path is gather-bound at ~HBM speed") was an artifact-vs-artifact
+comparison: `block_until_ready` is not an execution barrier on this
+backend (CLAUDE.md rule 0), so both sides timed dispatch.  Honest
+value-read-synced numbers: the XLA gather runs at ~3e7
+element-gathers/s (~503 ms per 1e6-pt 2-level fwd), nowhere near HBM
+bandwidth, and the gather -- not the gather-to-decode round trip --
+dominates the step.  This kernel's fused lerp+decode epilogue is
+therefore NOT the lever; replacing the gather itself is.  That path is
+``ops/pallas_interp.py`` (interpolation as tiled one-hot MXU matmuls
+against VMEM-resident halo tiles).  decode_impl='pallas' remains the
+value/grad/grad2 parity-tested reference slot for the CUDA extension
+(tests/test_pallas_decode.py); decode_impl='xla' stays the default.
 
 Everything is computed TRANSPOSED -- points on the 128-wide lane axis,
 channels on sublanes -- so the tiny feature dims (F=4, hidden 64) don't
