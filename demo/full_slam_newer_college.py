@@ -625,11 +625,38 @@ def main():
           f"mean {cons_err['mean_abs']:.2e} p99 {cons_err['p99_abs']:.2e} "
           f"max {cons_err['max_abs']:.2e}", flush=True)
     t0 = time.time()
-    save_mesh(fused, mb,
-              os.path.join(args.save_dir, "mesh_final.ply"),
-              resolution=args.mesh_resolution, feature_dtype="bfloat16")
+    mesh_out = save_mesh(fused, mb,
+                         os.path.join(args.save_dir, "mesh_final.ply"),
+                         resolution=args.mesh_resolution,
+                         feature_dtype="bfloat16")
     mesh_time = time.time() - t0
     print(f"mesh {args.mesh_resolution}^3 {mesh_time:.1f}s", flush=True)
+    mesh_metrics = None
+    if args.synthetic:
+        # Reconstruction quality vs the generating scene (the synthetic
+        # analogue of the reference's NCD GT-mesh eval, utils/ncd.py).
+        # The reconstruction lives in the SYSTEM world frame (gauge:
+        # identity rotation at the first pose); compare against the GT
+        # mesh transformed into that frame, with an outdoor-scale
+        # 10 cm F-score threshold (utils/ncd.py uses 10 cm for the 60 m
+        # NCD site; 5 cm is the indoor/ScanNet setting).
+        from miso_tpu.native import TriangleMesh as _TM
+        from miso_tpu.utils.eval import mesh_reconstruction_metrics
+        try:
+            if args.scene == "quad":
+                gt_eval = _TM(v_sys.astype(np.float32), tris)
+                thresh = 0.10
+            else:
+                gt_eval = mesh_gt
+                thresh = 0.05
+            mesh_metrics = mesh_reconstruction_metrics(
+                mesh_out, gt_eval, n_points=100000, threshold=thresh)
+            mesh_metrics["threshold_m"] = thresh
+            print("mesh vs GT:", {k: round(v, 3)
+                                  for k, v in mesh_metrics.items()},
+                  flush=True)
+        except Exception as e:   # quality eval must never lose the run
+            print(f"mesh eval failed: {e}", flush=True)
     if mesh_time > 60:
         # Prewarm miss diagnostics: a warm second evaluation separates
         # recompile (first slow, second fast) from slow execution.
@@ -645,6 +672,7 @@ def main():
     res["mesh_time_sec"] = mesh_time
     res["consolidate_time_sec"] = consolidate_time
     res["consolidation_sdf_error"] = cons_err
+    res["mesh_vs_gt"] = mesh_metrics
     with open(res_path, "w") as f:
         json.dump(res, f, indent=2)
 
