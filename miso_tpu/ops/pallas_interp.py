@@ -146,7 +146,10 @@ def bin_points(tile_id: jnp.ndarray, cols: jnp.ndarray, num_tiles: int,
     K = CHUNK
     counts = jax.ops.segment_sum(jnp.ones_like(tile_id), tile_id,
                                  num_segments=num_tiles)
-    pad_t = (-counts) % K
+    # Empty tiles get one full dummy chunk so EVERY tile is visited:
+    # the gradient kernel accumulates per-tile output blocks and an
+    # unvisited block would be left uninitialized.
+    pad_t = jnp.where(counts == 0, K, (-counts) % K)
     # num_tiles*K dummy candidates pad each tile's run to a K multiple
     # (excess routed to the trash key, which sorts last); (-N) % K more
     # unconditional trash rows make the TOTAL row count a K multiple.
@@ -161,13 +164,29 @@ def bin_points(tile_id: jnp.ndarray, cols: jnp.ndarray, num_tiles: int,
     zcols = jnp.zeros((n_cand, cols.shape[1]), cols.dtype)
     ops = [keys] + [jnp.concatenate([cols[:, i], zcols[:, i]])
                     for i in range(cols.shape[1])]
+    # lax.sort is variadic over EQUAL-SHAPED 1-D operands: decompose
+    # multi-channel payloads into columns and restack after the sort.
+    pay_shapes = []
     for p in payload:
-        ops.append(jnp.concatenate(
-            [p, jnp.zeros((n_cand,) + p.shape[1:], p.dtype)]))
+        pz = jnp.concatenate([p, jnp.zeros((n_cand,) + p.shape[1:],
+                                           p.dtype)])
+        if pz.ndim == 1:
+            pay_shapes.append(1)
+            ops.append(pz)
+        else:
+            pay_shapes.append(pz.shape[1])
+            ops.extend(pz[:, i] for i in range(pz.shape[1]))
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     skeys = sorted_ops[0]
     scols = jnp.stack(sorted_ops[1:1 + cols.shape[1]], axis=1)
-    spay = list(sorted_ops[1 + cols.shape[1]:])
+    flat_pay = list(sorted_ops[1 + cols.shape[1]:])
+    spay = []
+    for p, w in zip(payload, pay_shapes):
+        if p.ndim == 1:
+            spay.append(flat_pay.pop(0))
+        else:
+            spay.append(jnp.stack([flat_pay.pop(0) for _ in range(w)],
+                                  axis=1))
     chunk_tiles = jnp.minimum(skeys[::K], num_tiles - 1).astype(jnp.int32)
     # number of chunks holding real (non-trash) rows
     n_real = (N + jnp.sum(pad_t)).astype(jnp.int32)
@@ -213,6 +232,109 @@ def _tiled_interp_call(chunk_tiles, sorted_cols, tiles, fpad=8,
         out_shape=jax.ShapeDtypeStruct((C * CHUNK, fpad), jnp.float32),
         interpret=interpret,
     )(chunk_tiles, sorted_cols, tiles)
+
+
+def _onehot(cols, iota, deriv_axis=None):
+    """(CHUNK, _WPAD) trilinear weight matrix for one chunk.
+
+    ``deriv_axis``: None -> value weights; 0/1/2 -> d/d(fr_axis)
+    weights (corner sign on that axis, other axes' lerp weights)."""
+    ix = cols[:, 0:2].astype(jnp.int32)
+    jy = cols[:, 2:4].astype(jnp.int32)
+    kz = cols[:, 4:6].astype(jnp.int32)
+    w = (cols[:, 6:8], cols[:, 8:10], cols[:, 10:12])
+    acc = jnp.zeros(iota.shape, jnp.float32)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                lin = (ix[:, di] * 17 + jy[:, dj]) * 17 + kz[:, dk]
+                fs = (di, dj, dk)
+                ws = []
+                for ax in range(3):
+                    if deriv_axis == ax:
+                        # d/dfr of (d ? fr : 1-fr), with the axis's
+                        # validity mask preserved: w0+w1 = mask when
+                        # both corners valid.  |sign| folds the mask.
+                        ws.append((1.0 if fs[ax] else -1.0)
+                                  * (w[ax][:, 0] + w[ax][:, 1]))
+                    else:
+                        ws.append(w[ax][:, fs[ax]])
+                wv = ws[0] * ws[1] * ws[2]
+                acc = acc + jnp.where(iota == lin[:, None],
+                                      wv[:, None], 0.0)
+    return acc
+
+
+def _interp_grad_kernel(ct_ref, cols_ref, g_ref, gtiles_ref):
+    """Accumulate d(loss)/d(halo tile) = onehot^T @ g per tile.
+
+    Chunks of one tile are consecutive (bin_points), so the output
+    block stays VMEM-resident across them; it is zero-initialized on
+    the first chunk of each tile."""
+    c = pl.program_id(0)
+    first = jnp.where(c == 0, True, ct_ref[c] != ct_ref[jnp.maximum(c - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        gtiles_ref[...] = jnp.zeros(gtiles_ref.shape, gtiles_ref.dtype)
+
+    cols = cols_ref[...]
+    g = g_ref[...]                            # (CHUNK, fpad)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WPAD), 1)
+    acc = _onehot(cols, iota)
+    gtiles_ref[0] += jnp.dot(acc.T, g, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "fpad",
+                                             "interpret"))
+def _tiled_interp_grad_call(chunk_tiles, sorted_cols, g, num_tiles,
+                            fpad=8, interpret=False):
+    C = sorted_cols.shape[0] // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, 16), lambda c, ct: (c, 0)),
+            pl.BlockSpec((CHUNK, fpad), lambda c, ct: (c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _WPAD, fpad),
+                               lambda c, ct: (ct[c], 0, 0)),
+    )
+    return pl.pallas_call(
+        _interp_grad_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, _WPAD, fpad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(chunk_tiles, sorted_cols, g)
+
+
+@jax.custom_vjp
+def sorted_tiled_interp(tiles, scols, ct):
+    """Differentiable (wrt ``tiles``) sorted-order tiled interpolation.
+
+    The backward runs the transposed kernel (onehot^T @ g accumulated
+    per tile); the halo-tile cotangent then flows through
+    ``halo_tiles``'s own autodiff (a conv-patches transpose -- the
+    structured overlap-sum back onto the grid), so
+    ``jax.grad`` of a loss wrt the TABLE works end to end with no
+    scatter anywhere.  Gradients wrt the point columns are NOT
+    implemented (zeros) -- pose/coord training paths must keep the XLA
+    gather for now."""
+    return _tiled_interp_call(ct, scols, tiles)
+
+
+def _sti_fwd(tiles, scols, ct):
+    return _tiled_interp_call(ct, scols, tiles), (tiles.shape[0], scols, ct)
+
+
+def _sti_bwd(res, g):
+    num_tiles, scols, ct = res
+    dtiles = _tiled_interp_grad_call(ct, scols, g, num_tiles)
+    return dtiles, jnp.zeros_like(scols), None
+
+
+sorted_tiled_interp.defvjp(_sti_fwd, _sti_bwd)
 
 
 def tiled_grid_interpolate(table: jnp.ndarray, x: jnp.ndarray,

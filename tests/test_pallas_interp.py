@@ -79,3 +79,64 @@ def test_halo_tiles_layout():
     X[:lim[0], :lim[1], :lim[2]] = table[:lim[0], :lim[1], :lim[2]]
     got = tiles[0, :9 * 17 * 17, :4].reshape(9, 17, 17, 4)
     np.testing.assert_array_equal(got, X)
+
+
+@pytest.mark.fast
+def test_tiled_interp_table_grad_matches_xla():
+    """d(loss)/d(table) through the tiled kernel (transposed-onehot
+    accumulation kernel + conv-patches-transpose halo fold) matches the
+    XLA gather path's autodiff."""
+    rng = np.random.default_rng(3)
+    shape = (9, 17, 18, 4)
+    table = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    bound = np.array([[-1.0, 1.4], [0.0, 2.0], [-2.0, 0.5]], np.float32)
+    N = 700
+    x = jnp.asarray(rng.uniform(bound[:, 0] - 0.2, bound[:, 1] + 0.2,
+                                size=(N, 3)).astype(np.float32))
+    cot = rng.normal(size=(N, shape[-1])).astype(np.float32)
+
+    def loss_ref(tb):
+        v = interp.grid_interpolate(tb, x, jnp.asarray(bound))
+        return jnp.sum(v * jnp.asarray(cot))
+
+    g_ref = np.asarray(jax.grad(loss_ref)(table))
+
+    from miso_tpu.ops.pallas_interp import TILE
+
+    tdims = tuple(-(-s // t) for s, t in zip(shape[:3], TILE))
+    T = int(np.prod(tdims))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    tile_id, cols = point_cols(x, bound, shape[:3])
+    ct, scols, (sidx,), _ = bin_points(tile_id, cols, T, payload=[idx])
+    # sorted cotangent: dummy rows contribute zero via zero weights,
+    # but they ALIAS index 0 -- zero their cotangent by masking on the
+    # weight columns instead of the index.
+    live = (np.abs(np.asarray(scols[:, 6:12])).sum(1) > 0)
+    cot_sorted = np.asarray(jnp.asarray(cot)[sidx]) * live[:, None]
+    cot_sorted = jnp.asarray(np.pad(cot_sorted, ((0, 0), (0, 4))))
+
+    g_tiled = np.asarray(jax.grad(
+        lambda tb: _loss_tiled_interpret(tb, scols, ct, cot_sorted))(table))
+    np.testing.assert_allclose(g_tiled, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def _loss_tiled_interpret(tb, scols, ct, cot_sorted):
+    from miso_tpu.ops.pallas_interp import (_tiled_interp_call,
+                                            _tiled_interp_grad_call,
+                                            halo_tiles)
+
+    @jax.custom_vjp
+    def sti(tiles, scols_, ct_):
+        return _tiled_interp_call(ct_, scols_, tiles, interpret=True)
+
+    def fwd(tiles, scols_, ct_):
+        return sti(tiles, scols_, ct_), (tiles.shape[0], scols_, ct_)
+
+    def bwd(res, g):
+        nt, scols_, ct_ = res
+        dt = _tiled_interp_grad_call(ct_, scols_, g, nt, interpret=True)
+        return dt, jnp.zeros_like(scols_), None
+
+    sti.defvjp(fwd, bwd)
+    out = sti(halo_tiles(tb), scols, ct)
+    return jnp.sum(out * cot_sorted)
